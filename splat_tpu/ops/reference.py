@@ -1,0 +1,138 @@
+"""Pure-jnp reference renderer — the numerical oracle for the Pallas kernels.
+
+Role: same as gsplat's `gsplat/_torch_impl.py` in the reference stack (SURVEY.md
+§2c #10): a slow-but-simple renderer whose forward images AND gradients the fast
+tile/Pallas paths must match (allclose). Also the CPU-runnable path for tiny
+scenes.
+
+Compositing model (SURVEY.md Appendix B.6, gsplat semantics):
+    alpha_i = min(0.999, o_i * exp(-sigma_i)),  sigma = 0.5(a dx^2 + c dy^2) + b dx dy
+    skip if alpha < 1/255; front-to-back: C = sum_i T_i alpha_i c_i, T_{i+1} = T_i(1-alpha_i)
+    per-pixel early stop at T < 1e-4; background added with remaining T.
+
+Rolling shutter (Appendix B.3): the Gaussian's 2D mean is advanced by its screen
+velocity times the scanline's residual readout time before evaluating the conic:
+    mu_eff(py) = mu + pix_vel * t_read * (py/H - 1/2).
+
+Implementation note — chunked scan: instead of a per-Gaussian sequential loop we
+process depth-sorted Gaussians in chunks of K. Within a chunk, the running
+transmittances T_i are reconstructed with an exclusive cumulative product, and the
+per-pixel early-stop rule "skip once T <= 1e-4" is applied by masking on those
+reconstructed T_i. Because alphas only ever shrink T, masking on the *unfrozen*
+cumulative product selects exactly the same set of contributing Gaussians as the
+sequential skip rule, and the frozen post-chunk T equals the inclusive product at
+the last active position — so this is bit-equivalent in exact arithmetic to the
+CUDA-style sequential loop, while mapping onto dense VPU/MXU work.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedGaussians
+
+ALPHA_THRESH = 1.0 / 255.0
+MAX_ALPHA = 0.999
+T_EPS = 1e-4
+
+
+class RenderOutput(NamedTuple):
+    rgb: jax.Array          # (H, W, 3) linear-space color
+    alpha: jax.Array        # (H, W) accumulated opacity (1 - T_final)
+    depth: jax.Array        # (H, W) alpha-weighted expected depth
+    transmittance: jax.Array  # (H, W) final T
+
+
+def _pad_to_multiple(x: jax.Array, k: int, axis: int = 0, value: float = 0.0) -> jax.Array:
+    n = x.shape[axis]
+    pad = (-n) % k
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def render_reference(
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+    img_w: int,
+    img_h: int,
+    background: jax.Array,
+    rolling_shutter_time: jax.Array | float = 0.0,
+    chunk: int = 64,
+) -> RenderOutput:
+    """Render N depth-sorted Gaussians over the full image (no tiling).
+
+    colors: (N, 3) linear-space per-Gaussian color (SH already evaluated);
+    opacities: (N,) post-sigmoid opacity (compensation applied here);
+    background: (3,) composited with remaining transmittance.
+    """
+    n = proj.means2d.shape[0]
+    dtype = colors.dtype
+
+    # Effective opacity: antialias compensation folded in; invalid => 0.
+    op_eff = opacities * proj.compensations * proj.valid.astype(dtype)
+    op_eff = jnp.where(proj.radii > 0, op_eff, 0.0)
+
+    # Global front-to-back depth order (invalid pushed to the back).
+    sort_depth = jnp.where(proj.valid, proj.depths, jnp.inf)
+    order = jnp.argsort(sort_depth)
+
+    means2d = _pad_to_multiple(proj.means2d[order], chunk)
+    conics = _pad_to_multiple(proj.conics[order], chunk)
+    cols = _pad_to_multiple(colors[order], chunk)
+    ops = _pad_to_multiple(op_eff[order], chunk)
+    depths = _pad_to_multiple(proj.depths[order], chunk)
+    pvels = _pad_to_multiple(proj.pix_vels[order], chunk)
+    n_pad = means2d.shape[0]
+
+    # Pixel-center grid and per-row residual rolling-shutter time.
+    px = (jnp.arange(img_w, dtype=dtype) + 0.5)[None, :]  # (1, W)
+    py = (jnp.arange(img_h, dtype=dtype) + 0.5)[:, None]  # (H, 1)
+    t_row = rolling_shutter_time * (py / img_h - 0.5)      # (H, 1)
+
+    def chunk_step(carry, xs):
+        rgb, depth_acc, T = carry
+        m2d, con, col, op, dep, pv = xs  # (K, ...)
+
+        # Effective means per scanline: mu + pix_vel * t_row  -> (K, H, W) deltas.
+        dx = px[None] - (m2d[:, 0, None, None] + pv[:, 0, None, None] * t_row[None])
+        dy = py[None] - (m2d[:, 1, None, None] + pv[:, 1, None, None] * t_row[None])
+        sigma = (
+            0.5 * (con[:, 0, None, None] * dx * dx + con[:, 2, None, None] * dy * dy)
+            + con[:, 1, None, None] * dx * dy
+        )
+        alpha = jnp.minimum(MAX_ALPHA, op[:, None, None] * jnp.exp(-sigma))
+        alpha = jnp.where((sigma >= 0) & (alpha >= ALPHA_THRESH), alpha, 0.0)  # (K,H,W)
+
+        one_m = 1.0 - alpha
+        t_inc = T[None] * jnp.cumprod(one_m, axis=0)          # inclusive running T
+        t_exc = jnp.concatenate([T[None], t_inc[:-1]], axis=0)  # exclusive running T
+        active = t_exc > T_EPS
+        w = jnp.where(active, t_exc * alpha, 0.0)             # (K, H, W)
+
+        rgb = rgb + jnp.einsum("khw,kc->hwc", w, col)
+        depth_acc = depth_acc + jnp.einsum("khw,k->hw", w, dep)
+        # Frozen transmittance: inclusive product at the last active position.
+        T = jnp.min(jnp.where(active, t_inc, T[None]), axis=0)
+        return (rgb, depth_acc, T), None
+
+    init = (
+        jnp.zeros((img_h, img_w, 3), dtype=dtype),
+        jnp.zeros((img_h, img_w), dtype=dtype),
+        jnp.ones((img_h, img_w), dtype=dtype),
+    )
+    xs = tuple(
+        x.reshape((n_pad // chunk, chunk) + x.shape[1:])
+        for x in (means2d, conics, cols, ops, depths, pvels)
+    )
+    (rgb, depth_acc, T), _ = jax.lax.scan(chunk_step, init, xs)
+
+    alpha = 1.0 - T
+    rgb = rgb + T[..., None] * background
+    depth = depth_acc / jnp.maximum(alpha, 1e-10)
+    return RenderOutput(rgb=rgb, alpha=alpha, depth=depth, transmittance=T)

@@ -1,0 +1,174 @@
+"""Tile intersection, depth sorting and binning — XLA-native.
+
+TPU re-design of the reference's intersect/sort/bin stage (SURVEY.md §2c #3/#4:
+gsplat `map_gaussian_to_intersects`, `get_tile_bin_edges`, cub radix sort). The
+CUDA version builds variable-length per-tile lists with prefix sums and atomic
+counters; under XLA we need static shapes, so the design is:
+
+  1. each Gaussian's screen footprint -> a clamped rect of tiles, expanded into at
+     most MAX_TILES_PER_GAUSSIAN (tile_id, depth, gauss_idx) entries (static pad);
+  2. one lexicographic `lax.sort` over (tile_id, depth) — the TPU analogue of the
+     packed int64 radix sort (`tile_id << 32 | depth_bits`);
+  3. per-tile ranges via searchsorted over the sorted tile ids (bin edges), and a
+     dense gather of up to `max_per_tile` Gaussian indices per tile.
+
+The resulting dense (num_tiles, max_per_tile) index table is what the rasterizer
+consumes; gradients flow through the subsequent parameter gather (jnp.take), whose
+VJP is a deterministic segment-sum scatter — no atomics (SURVEY.md §5 race note).
+
+Static capacity knobs (recompile when changed):
+  * max_tiles_per_gaussian: footprint cap; oversize footprints are clamped around
+    the Gaussian's center tile (tracked via `clipped` output for monitoring).
+  * max_per_tile: per-tile list capacity; overflow drops the *deepest* entries
+    (they are the most occluded); `overflow` output reports the worst tile.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE_SENTINEL = jnp.int32(2**30)
+
+
+class TileRects(NamedTuple):
+    x0: jax.Array  # (N,) inclusive tile coords
+    y0: jax.Array
+    x1: jax.Array  # (N,) exclusive
+    y1: jax.Array
+
+
+class TileLists(NamedTuple):
+    indices: jax.Array   # (num_tiles, max_per_tile) int32 gaussian ids, -1 = empty
+    counts: jax.Array    # (num_tiles,) int32 number of valid entries
+    overflow: jax.Array  # () int32: total entries dropped by max_per_tile
+    clipped: jax.Array   # () int32: gaussians whose footprint rect was clamped
+
+
+def num_tiles(img_w: int, img_h: int, tile_size: int) -> tuple[int, int]:
+    return -(-img_w // tile_size), -(-img_h // tile_size)
+
+
+def gaussian_tile_rects(
+    means2d: jax.Array,
+    radii: jax.Array,
+    valid: jax.Array,
+    img_w: int,
+    img_h: int,
+    tile_size: int,
+    radius_pad: jax.Array | None = None,
+    max_span: int | None = None,
+) -> tuple[TileRects, jax.Array]:
+    """Tile-coordinate rects [x0,x1) x [y0,y1) per Gaussian.
+
+    radius_pad: optional extra pixel radius (e.g. rolling-shutter screen motion
+    |pix_vel| * t_max) so moving Gaussians stay inside their binned tiles.
+    max_span: clamp rect width/height to this many tiles, centered on the mean
+    (keeps the expansion budget static). Returns (rects, was_clipped).
+    """
+    tw, th = num_tiles(img_w, img_h, tile_size)
+    r = radii + (0.0 if radius_pad is None else radius_pad)
+    x0 = jnp.floor((means2d[:, 0] - r) / tile_size).astype(jnp.int32)
+    y0 = jnp.floor((means2d[:, 1] - r) / tile_size).astype(jnp.int32)
+    x1 = jnp.floor((means2d[:, 0] + r) / tile_size).astype(jnp.int32) + 1
+    y1 = jnp.floor((means2d[:, 1] + r) / tile_size).astype(jnp.int32) + 1
+    x0 = jnp.clip(x0, 0, tw)
+    y0 = jnp.clip(y0, 0, th)
+    x1 = jnp.clip(x1, 0, tw)
+    y1 = jnp.clip(y1, 0, th)
+
+    clipped = jnp.zeros_like(x0, dtype=bool)
+    if max_span is not None:
+        cx = jnp.clip(jnp.floor(means2d[:, 0] / tile_size).astype(jnp.int32), 0, tw - 1)
+        cy = jnp.clip(jnp.floor(means2d[:, 1] / tile_size).astype(jnp.int32), 0, th - 1)
+        wide_x = (x1 - x0) > max_span
+        wide_y = (y1 - y0) > max_span
+        clipped = wide_x | wide_y
+        half = max_span // 2
+        nx0 = jnp.clip(cx - half, 0, tw)
+        ny0 = jnp.clip(cy - half, 0, th)
+        x0 = jnp.where(wide_x, nx0, x0)
+        x1 = jnp.where(wide_x, jnp.minimum(nx0 + max_span, tw), x1)
+        y0 = jnp.where(wide_y, ny0, y0)
+        y1 = jnp.where(wide_y, jnp.minimum(ny0 + max_span, th), y1)
+
+    keep = valid & (radii > 0)
+    x1 = jnp.where(keep, x1, x0)  # empty rect for culled gaussians
+    y1 = jnp.where(keep, y1, y0)
+    return TileRects(x0, y0, x1, y1), clipped & keep
+
+
+@functools.partial(
+    jax.jit, static_argnames=("img_w", "img_h", "tile_size", "max_per_tile", "max_tiles_per_gaussian")
+)
+def build_tile_lists(
+    means2d: jax.Array,
+    radii: jax.Array,
+    depths: jax.Array,
+    valid: jax.Array,
+    img_w: int,
+    img_h: int,
+    tile_size: int = 16,
+    max_per_tile: int = 512,
+    max_tiles_per_gaussian: int = 64,
+    radius_pad: jax.Array | None = None,
+) -> TileLists:
+    """Build dense per-tile, depth-sorted Gaussian index lists."""
+    n = means2d.shape[0]
+    tw, th = num_tiles(img_w, img_h, tile_size)
+    n_tiles = tw * th
+    span = max(int(max_tiles_per_gaussian**0.5), 1)
+
+    rects, was_clipped = gaussian_tile_rects(
+        jax.lax.stop_gradient(means2d),
+        jax.lax.stop_gradient(radii),
+        valid, img_w, img_h, tile_size,
+        radius_pad=None if radius_pad is None else jax.lax.stop_gradient(radius_pad),
+        max_span=span,
+    )
+    w_rect = rects.x1 - rects.x0  # (N,)
+    h_rect = rects.y1 - rects.y0
+    n_touch = w_rect * h_rect
+
+    # Expand: entry k of gaussian i covers tile (x0 + k % w, y0 + k // w).
+    k = jnp.arange(span * span, dtype=jnp.int32)[None, :]         # (1, M)
+    ex = rects.x0[:, None] + k % jnp.maximum(w_rect[:, None], 1)
+    ey = rects.y0[:, None] + k // jnp.maximum(w_rect[:, None], 1)
+    entry_valid = k < n_touch[:, None]
+    tile_ids = jnp.where(entry_valid, ey * tw + ex, TILE_SENTINEL)  # (N, M)
+
+    depths_sg = jax.lax.stop_gradient(depths)
+    depth_keys = jnp.broadcast_to(depths_sg[:, None], tile_ids.shape)
+    gauss_ids = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], tile_ids.shape
+    )
+
+    flat_tiles = tile_ids.reshape(-1)
+    flat_depths = depth_keys.reshape(-1)
+    flat_ids = gauss_ids.reshape(-1)
+
+    sorted_tiles, _, sorted_ids = jax.lax.sort(
+        (flat_tiles, flat_depths, flat_ids), num_keys=2
+    )
+
+    # Bin edges: one searchsorted per tile boundary.
+    tile_range = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    edges = jnp.searchsorted(sorted_tiles, tile_range, side="left").astype(jnp.int32)
+    starts, ends = edges[:-1], edges[1:]
+    counts_full = ends - starts
+    counts = jnp.minimum(counts_full, max_per_tile)
+
+    # Dense gather of the first max_per_tile (closest) entries per tile.
+    j = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    gather_pos = jnp.minimum(starts[:, None] + j, sorted_ids.shape[0] - 1)
+    idx = jnp.take(sorted_ids, gather_pos, axis=0)
+    idx = jnp.where(j < counts[:, None], idx, -1)
+
+    return TileLists(
+        indices=idx,
+        counts=counts,
+        overflow=jnp.sum(counts_full - counts),
+        clipped=jnp.sum(was_clipped.astype(jnp.int32)),
+    )
