@@ -1,0 +1,212 @@
+"""Tile-based rasterization: the TPU hot path.
+
+Equivalent of the reference's per-pixel alpha-compositing CUDA kernels
+(SURVEY.md §2c #5/#6: gsplat `rasterize_forward` / `rasterize_backward_kernel`),
+re-designed for TPU:
+
+  * tiles play the role of the CUDA thread-block grid; per-tile Gaussian lists
+    come from `ops.tiling` (sort + gather instead of atomics);
+  * within a tile, compositing uses the chunked scan of `ops.reference` — the
+    sequential depth loop is reformulated as cumulative products over chunks,
+    turning per-pixel scalar loops into dense VPU work and an (npix x K) @ (K x 4)
+    MXU matmul for the color/depth accumulation;
+  * the backward pass is plain autodiff through the scan + the parameter gather
+    (`jnp.take`), whose VJP is a deterministic segment-sum scatter — replacing
+    CUDA's atomic adds (SURVEY.md §5: no race-prone constructs by design).
+
+Two implementations share this orchestration: `impl="jnp"` (vmapped scan; runs
+anywhere, is the shardable baseline) and `impl="pallas"` (hand-written kernels in
+`ops.pallas`, fwd + custom VJP).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedGaussians
+from .reference import ALPHA_THRESH, MAX_ALPHA, T_EPS, RenderOutput
+from . import tiling
+
+
+class TileGather(NamedTuple):
+    """Per-tile dense Gaussian parameters (struct-of-arrays)."""
+
+    means2d: jax.Array   # (T, K, 2)
+    conics: jax.Array    # (T, K, 3)
+    colors: jax.Array    # (T, K, 3)
+    opacities: jax.Array  # (T, K) effective opacity (compensation folded in)
+    depths: jax.Array    # (T, K)
+    pix_vels: jax.Array  # (T, K, 2)
+    counts: jax.Array    # (T,)
+
+
+def gather_tile_params(
+    lists: tiling.TileLists,
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+) -> TileGather:
+    idx = jnp.maximum(lists.indices, 0)
+    mask = lists.indices >= 0
+    op_eff = opacities * proj.compensations * proj.valid.astype(colors.dtype)
+    take = lambda a: jnp.take(a, idx, axis=0)
+    return TileGather(
+        means2d=take(proj.means2d),
+        conics=take(proj.conics),
+        colors=take(colors),
+        opacities=jnp.where(mask, take(op_eff), 0.0),
+        depths=take(proj.depths),
+        pix_vels=take(proj.pix_vels),
+        counts=lists.counts,
+    )
+
+
+def _composite_one_tile(
+    g: TileGather,
+    origin_x: jax.Array,
+    origin_y: jax.Array,
+    tile_size: int,
+    img_h: int,
+    rs_time: jax.Array,
+    chunk: int,
+):
+    """Composite a single tile; g fields are (K, ...) for this tile.
+
+    Returns (rgb (S,S,3), depth_acc (S,S), T (S,S)).
+    """
+    dtype = g.colors.dtype
+    k_total = g.means2d.shape[0]
+    assert k_total % chunk == 0
+
+    px = origin_x + (jnp.arange(tile_size, dtype=dtype) + 0.5)[None, :]  # (1,S)
+    py = origin_y + (jnp.arange(tile_size, dtype=dtype) + 0.5)[:, None]  # (S,1)
+    t_row = rs_time * (py / img_h - 0.5)  # (S,1)
+
+    j = jnp.arange(k_total, dtype=jnp.int32)
+    in_count = j < g.counts
+
+    def chunk_step(carry, xs):
+        rgb, depth_acc, T = carry
+        m2d, con, col, op, dep, pv, valid = xs
+
+        dx = px[None] - (m2d[:, 0, None, None] + pv[:, 0, None, None] * t_row[None])
+        dy = py[None] - (m2d[:, 1, None, None] + pv[:, 1, None, None] * t_row[None])
+        sigma = (
+            0.5 * (con[:, 0, None, None] * dx * dx + con[:, 2, None, None] * dy * dy)
+            + con[:, 1, None, None] * dx * dy
+        )
+        alpha = jnp.minimum(MAX_ALPHA, op[:, None, None] * jnp.exp(-sigma))
+        alpha = jnp.where(
+            (sigma >= 0) & (alpha >= ALPHA_THRESH) & valid[:, None, None], alpha, 0.0
+        )  # (K,S,S)
+
+        one_m = 1.0 - alpha
+        t_inc = T[None] * jnp.cumprod(one_m, axis=0)
+        t_exc = jnp.concatenate([T[None], t_inc[:-1]], axis=0)
+        active = t_exc > T_EPS
+        w = jnp.where(active, t_exc * alpha, 0.0)
+
+        rgb = rgb + jnp.einsum("kxy,kc->xyc", w, col)
+        depth_acc = depth_acc + jnp.einsum("kxy,k->xy", w, dep)
+        T = jnp.min(jnp.where(active, t_inc, T[None]), axis=0)
+        return (rgb, depth_acc, T), None
+
+    init = (
+        jnp.zeros((tile_size, tile_size, 3), dtype=dtype),
+        jnp.zeros((tile_size, tile_size), dtype=dtype),
+        jnp.ones((tile_size, tile_size), dtype=dtype),
+    )
+    reshape = lambda a: a.reshape((k_total // chunk, chunk) + a.shape[1:])
+    xs = (
+        reshape(g.means2d), reshape(g.conics), reshape(g.colors),
+        reshape(g.opacities), reshape(g.depths), reshape(g.pix_vels),
+        reshape(in_count),
+    )
+    (rgb, depth_acc, T), _ = jax.lax.scan(chunk_step, init, xs)
+    return rgb, depth_acc, T
+
+
+def composite_tiles_jnp(
+    g: TileGather,
+    img_w: int,
+    img_h: int,
+    tile_size: int,
+    rs_time: jax.Array,
+    chunk: int = 32,
+):
+    """vmapped per-tile compositing. Returns per-tile (rgb, depth_acc, T)."""
+    tw, th = tiling.num_tiles(img_w, img_h, tile_size)
+    tx = (jnp.arange(tw * th, dtype=jnp.int32) % tw).astype(g.colors.dtype) * tile_size
+    ty = (jnp.arange(tw * th, dtype=jnp.int32) // tw).astype(g.colors.dtype) * tile_size
+    return jax.vmap(
+        functools.partial(
+            _composite_one_tile,
+            tile_size=tile_size, img_h=img_h, rs_time=rs_time, chunk=chunk,
+        )
+    )(g, tx, ty)
+
+
+def assemble_image(tiles: jax.Array, img_w: int, img_h: int, tile_size: int) -> jax.Array:
+    """(num_tiles, S, S, C?) row-major tile grid -> (H, W, C?) image (cropped)."""
+    tw, th = tiling.num_tiles(img_w, img_h, tile_size)
+    chan = tiles.shape[3:]
+    img = tiles.reshape((th, tw, tile_size, tile_size) + chan)
+    img = jnp.swapaxes(img, 1, 2).reshape((th * tile_size, tw * tile_size) + chan)
+    return img[:img_h, :img_w]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "img_w", "img_h", "tile_size", "max_per_tile", "max_tiles_per_gaussian",
+        "chunk", "impl",
+    ),
+)
+def rasterize(
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+    img_w: int,
+    img_h: int,
+    background: jax.Array,
+    rolling_shutter_time: jax.Array | float = 0.0,
+    tile_size: int = 16,
+    max_per_tile: int = 512,
+    max_tiles_per_gaussian: int = 64,
+    chunk: int = 32,
+    impl: str = "jnp",
+) -> RenderOutput:
+    """Full tile rasterization of one (sub-)frame from projected Gaussians."""
+    rs = jnp.asarray(rolling_shutter_time, dtype=colors.dtype)
+    # Rolling-shutter screen motion: pad the binning radius by the max |shift|.
+    radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * jnp.abs(rs) * 0.5
+
+    lists = tiling.build_tile_lists(
+        proj.means2d, proj.radii, proj.depths, proj.valid,
+        img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
+        radius_pad=radius_pad,
+    )
+    g = gather_tile_params(lists, proj, colors, opacities)
+
+    if impl == "jnp":
+        rgb_t, dep_t, T_t = composite_tiles_jnp(g, img_w, img_h, tile_size, rs, chunk)
+    elif impl == "pallas":
+        from .pallas import rasterize_tiles_pallas
+
+        rgb_t, dep_t, T_t = rasterize_tiles_pallas(
+            g, img_w, img_h, tile_size, rs, chunk
+        )
+    else:
+        raise ValueError(f"unknown rasterize impl: {impl}")
+
+    rgb = assemble_image(rgb_t, img_w, img_h, tile_size)
+    depth_acc = assemble_image(dep_t, img_w, img_h, tile_size)
+    T = assemble_image(T_t, img_w, img_h, tile_size)
+
+    alpha = 1.0 - T
+    rgb = rgb + T[..., None] * background
+    depth = depth_acc / jnp.maximum(alpha, 1e-10)
+    return RenderOutput(rgb=rgb, alpha=alpha, depth=depth, transmittance=T)

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .projection import ProjectedGaussians
+from . import tiling as _tiling
 
 ALPHA_THRESH = 1.0 / 255.0
 MAX_ALPHA = 0.999
@@ -64,12 +65,18 @@ def render_reference(
     background: jax.Array,
     rolling_shutter_time: jax.Array | float = 0.0,
     chunk: int = 64,
+    tile_size: int | None = None,
+    max_tiles_per_gaussian: int | None = None,
 ) -> RenderOutput:
     """Render N depth-sorted Gaussians over the full image (no tiling).
 
     colors: (N, 3) linear-space per-Gaussian color (SH already evaluated);
     opacities: (N,) post-sigmoid opacity (compensation applied here);
     background: (3,) composited with remaining transmittance.
+
+    tile_size: if given, emulate the tile rasterizer's visibility rule exactly —
+    a Gaussian only contributes to pixels whose tile lies inside its (clamped)
+    footprint rect. Lets allclose tests against the tile/Pallas path be tight.
     """
     n = proj.means2d.shape[0]
     dtype = colors.dtype
@@ -78,10 +85,26 @@ def render_reference(
     op_eff = opacities * proj.compensations * proj.valid.astype(dtype)
     op_eff = jnp.where(proj.radii > 0, op_eff, 0.0)
 
+    # Optional tile-visibility rects (emulating the tile rasterizer's binning).
+    if tile_size is not None:
+        span = None
+        if max_tiles_per_gaussian is not None:
+            span = max(int(max_tiles_per_gaussian**0.5), 1)
+        rs_abs = jnp.abs(jnp.asarray(rolling_shutter_time, dtype=dtype))
+        radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * rs_abs * 0.5
+        rects, _ = _tiling.gaussian_tile_rects(
+            proj.means2d, proj.radii, proj.valid, img_w, img_h, tile_size,
+            radius_pad=radius_pad, max_span=span,
+        )
+        rect_arr = jnp.stack([rects.x0, rects.y0, rects.x1, rects.y1], axis=-1)
+    else:
+        rect_arr = jnp.zeros((n, 4), dtype=jnp.int32)
+
     # Global front-to-back depth order (invalid pushed to the back).
     sort_depth = jnp.where(proj.valid, proj.depths, jnp.inf)
     order = jnp.argsort(sort_depth)
 
+    rect_s = _pad_to_multiple(rect_arr[order], chunk)
     means2d = _pad_to_multiple(proj.means2d[order], chunk)
     conics = _pad_to_multiple(proj.conics[order], chunk)
     cols = _pad_to_multiple(colors[order], chunk)
@@ -95,9 +118,13 @@ def render_reference(
     py = (jnp.arange(img_h, dtype=dtype) + 0.5)[:, None]  # (H, 1)
     t_row = rolling_shutter_time * (py / img_h - 0.5)      # (H, 1)
 
+    if tile_size is not None:
+        pix_tx = jnp.floor(px / tile_size).astype(jnp.int32)  # (1, W)
+        pix_ty = jnp.floor(py / tile_size).astype(jnp.int32)  # (H, 1)
+
     def chunk_step(carry, xs):
         rgb, depth_acc, T = carry
-        m2d, con, col, op, dep, pv = xs  # (K, ...)
+        m2d, con, col, op, dep, pv, rct = xs  # (K, ...)
 
         # Effective means per scanline: mu + pix_vel * t_row  -> (K, H, W) deltas.
         dx = px[None] - (m2d[:, 0, None, None] + pv[:, 0, None, None] * t_row[None])
@@ -108,6 +135,14 @@ def render_reference(
         )
         alpha = jnp.minimum(MAX_ALPHA, op[:, None, None] * jnp.exp(-sigma))
         alpha = jnp.where((sigma >= 0) & (alpha >= ALPHA_THRESH), alpha, 0.0)  # (K,H,W)
+        if tile_size is not None:
+            in_rect = (
+                (pix_tx[None] >= rct[:, 0, None, None])
+                & (pix_tx[None] < rct[:, 2, None, None])
+                & (pix_ty[None] >= rct[:, 1, None, None])
+                & (pix_ty[None] < rct[:, 3, None, None])
+            )
+            alpha = jnp.where(in_rect, alpha, 0.0)
 
         one_m = 1.0 - alpha
         t_inc = T[None] * jnp.cumprod(one_m, axis=0)          # inclusive running T
@@ -128,7 +163,7 @@ def render_reference(
     )
     xs = tuple(
         x.reshape((n_pad // chunk, chunk) + x.shape[1:])
-        for x in (means2d, conics, cols, ops, depths, pvels)
+        for x in (means2d, conics, cols, ops, depths, pvels, rect_s)
     )
     (rgb, depth_acc, T), _ = jax.lax.scan(chunk_step, init, xs)
 

@@ -1,0 +1,125 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splat_tpu.ops import projection, rasterize, reference, tiling
+
+
+def make_scene(n=80, seed=0, img_w=48, img_h=40, vel=False):
+    rng = np.random.default_rng(seed)
+    fx = fy = 50.0
+    cx, cy = img_w / 2.0, img_h / 2.0
+    means = rng.normal(size=(n, 3)) * np.array([0.5, 0.45, 0.9]) + np.array([0, 0, 4.0])
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.35) * 0.1
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    colors = rng.uniform(0.0, 1.0, size=(n, 3))
+    opac = rng.uniform(0.3, 0.95, size=(n,))
+    kw = {}
+    if vel:
+        kw = dict(lin_vel=jnp.array([0.5, -0.3, 0.2]), ang_vel=jnp.array([0.1, 0.15, -0.1]))
+    proj = projection.project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.eye(3), jnp.zeros(3), fx, fy, cx, cy, img_w, img_h, **kw
+    )
+    return proj, jnp.asarray(colors), jnp.asarray(opac), img_w, img_h
+
+
+@pytest.mark.parametrize("tile_size", [8, 16])
+def test_tile_rasterize_matches_oracle(tile_size):
+    proj, colors, opac, w, h = make_scene(seed=1)
+    bg = jnp.array([0.2, 0.1, 0.4])
+    out = rasterize.rasterize(
+        proj, colors, opac, w, h, bg, tile_size=tile_size, max_per_tile=128, chunk=16
+    )
+    ref = reference.render_reference(
+        proj, colors, opac, w, h, bg, tile_size=tile_size, max_tiles_per_gaussian=64
+    )
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.transmittance), np.asarray(ref.transmittance), atol=2e-5
+    )
+
+
+def test_tile_rasterize_rolling_shutter_matches_oracle():
+    proj, colors, opac, w, h = make_scene(seed=2, vel=True)
+    bg = jnp.zeros(3)
+    rs = 0.04
+    out = rasterize.rasterize(
+        proj, colors, opac, w, h, bg, rolling_shutter_time=rs,
+        tile_size=8, max_per_tile=128, chunk=16,
+    )
+    ref = reference.render_reference(
+        proj, colors, opac, w, h, bg, rolling_shutter_time=rs,
+        tile_size=8, max_tiles_per_gaussian=64,
+    )
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb), atol=2e-5)
+
+
+def test_tile_rasterize_gradients_match_oracle():
+    proj, colors, opac, w, h = make_scene(n=40, seed=3, img_w=32, img_h=32)
+    bg = jnp.array([0.5, 0.5, 0.5])
+    tgt = jnp.zeros((h, w, 3))
+
+    def loss_tile(colors, opac, means2d):
+        p = proj._replace(means2d=means2d)
+        out = rasterize.rasterize(
+            p, colors, opac, w, h, bg, tile_size=8, max_per_tile=64, chunk=8
+        )
+        return jnp.mean((out.rgb - tgt) ** 2)
+
+    def loss_ref(colors, opac, means2d):
+        p = proj._replace(means2d=means2d)
+        out = reference.render_reference(
+            p, colors, opac, w, h, bg, tile_size=8, max_tiles_per_gaussian=64
+        )
+        return jnp.mean((out.rgb - tgt) ** 2)
+
+    g_tile = jax.grad(loss_tile, argnums=(0, 1, 2))(colors, opac, proj.means2d)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(colors, opac, proj.means2d)
+    for gt, gr in zip(g_tile, g_ref):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gr), atol=1e-5, rtol=1e-3)
+    assert float(jnp.abs(g_tile[2]).sum()) > 0  # screen-space grads flow (densify signal)
+
+
+def test_assemble_image_roundtrip():
+    # Tiles laid out row-major reassemble into the original image.
+    h, w, s = 20, 28, 8
+    tw, th = tiling.num_tiles(w, h, s)
+    img = jnp.arange((th * s) * (tw * s) * 3, dtype=jnp.float32).reshape(th * s, tw * s, 3)
+    tiles = img.reshape(th, s, tw, s, 3).swapaxes(1, 2).reshape(th * tw, s, s, 3)
+    out = rasterize.assemble_image(tiles, w, h, s)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img[:h, :w]))
+
+
+def test_overflow_reported():
+    # 60 gaussians all on one tile with tiny capacity -> overflow > 0.
+    n = 60
+    proj = projection.project_gaussians(
+        jnp.tile(jnp.array([[0.0, 0.0, 4.0]]), (n, 1)) + jnp.linspace(0, 0.01, n)[:, None],
+        jnp.full((n, 3), 0.05),
+        jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]]), (n, 1)),
+        jnp.eye(3), jnp.zeros(3), 50.0, 50.0, 16.0, 16.0, 32, 32,
+    )
+    lists = tiling.build_tile_lists(
+        proj.means2d, proj.radii, proj.depths, proj.valid, 32, 32,
+        tile_size=16, max_per_tile=16, max_tiles_per_gaussian=16,
+    )
+    assert int(lists.overflow) > 0
+    assert int(lists.counts.max()) == 16
+
+
+def test_tile_lists_depth_sorted():
+    proj, colors, opac, w, h = make_scene(seed=5)
+    lists = tiling.build_tile_lists(
+        proj.means2d, proj.radii, proj.depths, proj.valid, w, h,
+        tile_size=8, max_per_tile=128, max_tiles_per_gaussian=64,
+    )
+    idx = np.asarray(lists.indices)
+    cnt = np.asarray(lists.counts)
+    dep = np.asarray(proj.depths)
+    for t in range(idx.shape[0]):
+        d = dep[idx[t, : cnt[t]]]
+        assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
