@@ -1,0 +1,202 @@
+"""Synthetic scene fixture generator.
+
+Two roles (SURVEY.md §4 "deterministic synthetic pipeline as fixture generator"):
+  1. unit/integration fixtures: a known Gaussian scene rendered along a smooth
+     camera trajectory WITH real motion blur (multi-sample exposure integration
+     over the true trajectory) and rolling shutter, written to disk in the
+     reference data contract (transforms.json + images/ + sparse_pc.ply,
+     SURVEY.md §6b) — so the dataparser, model, and trainer are tested end to
+     end against ground truth whose generative process is known;
+  2. benchmark scenes for bench.py when the Zenodo datasets are unavailable.
+
+Mirrors the *behavior* of the reference's process_synthetic_inputs.py (GT
+camera-frame velocities from pose deltas over the exposure+readout window,
+every-8th-frame eval with zero velocity at eval frames) without its inputs
+(raw Deblur-NeRF re-renders are not shipped here).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import projection, rasterize, se3, sh
+from . import ply as ply_io
+
+
+def make_random_gaussians(rng: np.random.Generator, n: int, spread=0.8, z_center=0.0):
+    """A blob of Gaussians around the origin (world frame)."""
+    means = rng.normal(size=(n, 3)) * np.array([spread, spread, spread]) + np.array(
+        [0.0, 0.0, z_center]
+    )
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.4) * 0.06 * spread
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    colors = rng.uniform(0.05, 1.0, size=(n, 3))
+    opacities = rng.uniform(0.5, 0.98, size=(n,))
+    return dict(
+        means=jnp.asarray(means, jnp.float32),
+        scales=jnp.asarray(scales, jnp.float32),
+        quats=jnp.asarray(quats, jnp.float32),
+        colors=jnp.asarray(colors, jnp.float32),
+        opacities=jnp.asarray(opacities, jnp.float32),
+    )
+
+
+def look_at_gl(position: np.ndarray, target: np.ndarray, up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """OpenGL c2w 4x4: camera at `position` looking at `target` (-z forward)."""
+    z = position - target
+    z = z / np.linalg.norm(z)
+    x = np.cross(np.asarray(up, dtype=np.float64), z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    m = np.eye(4)
+    m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = x, y, z, position
+    return m
+
+
+def orbit_pose_gl(t: float, radius=3.0, height=1.2, wobble=0.35, period=8.0) -> np.ndarray:
+    """Smooth orbit trajectory with vertical wobble; t in seconds."""
+    a = 2 * np.pi * t / period
+    pos = np.array(
+        [radius * np.cos(a), radius * np.sin(a), height + wobble * np.sin(2.3 * a)]
+    )
+    return look_at_gl(pos, np.array([0.0, 0.0, 0.0]))
+
+
+def trajectory_velocities_gl(pose_fn, t: float, dt: float = 1e-3):
+    """Camera-frame (GL axes) linear/angular velocity via central differences —
+    same derivation as the reference's converters (process_synthetic_inputs.py:157-165,
+    render_video.py:85-115)."""
+    m0 = pose_fn(t - dt)
+    m1 = pose_fn(t + dt)
+    R0, R1 = m0[:3, :3], m1[:3, :3]
+    v_world = (m1[:3, 3] - m0[:3, 3]) / (2 * dt)
+    Rm = pose_fn(t)[:3, :3]
+    v_cam = Rm.T @ v_world
+    dR = R0.T @ R1
+    w = np.asarray(se3.so3_log(jnp.asarray(dR[None], jnp.float32)))[0] / (2 * dt)
+    return v_cam, w
+
+
+def render_frame_gt(
+    gauss: dict,
+    pose_fn,
+    t_mid: float,
+    fx: float, fy: float, cx: float, cy: float, w: int, h: int,
+    exposure: float = 0.0,
+    rs_time: float = 0.0,
+    n_samples: int = 9,
+    gamma: float = 2.2,
+    background=(0.0, 0.0, 0.0),
+    sh_degree: int = 0,
+) -> np.ndarray:
+    """Ground-truth render: integrate the exposure by sampling the TRUE
+    trajectory (not the first-order model the training-time renderer uses), with
+    rolling shutter applied via screen velocities at each sub-frame."""
+    bg = jnp.asarray(background, jnp.float32)
+    ts = [0.0] if (exposure == 0.0 and n_samples <= 1) else list(
+        np.linspace(-exposure / 2, exposure / 2, max(n_samples, 1))
+    )
+    acc = None
+    for t_s in ts:
+        m = pose_fn(t_mid + t_s)
+        from ..cameras.cameras import Cameras
+
+        R_cv, p = Cameras.gl_to_cv_c2w(jnp.asarray(m[None], jnp.float32))
+        R_cv, p = R_cv[0], p[0]
+        R_cw = R_cv.T
+        t_cw = -R_cw @ p
+        v_gl, w_gl = trajectory_velocities_gl(pose_fn, t_mid + t_s)
+        v_cv = Cameras.vel_gl_to_cv(jnp.asarray(v_gl, jnp.float32))
+        w_cv = Cameras.vel_gl_to_cv(jnp.asarray(w_gl, jnp.float32))
+        proj = projection.project_gaussians(
+            gauss["means"], gauss["scales"], gauss["quats"], R_cw, t_cw,
+            fx, fy, cx, cy, w, h, lin_vel=v_cv, ang_vel=w_cv,
+        )
+        out = rasterize.rasterize(
+            proj, gauss["colors"], gauss["opacities"], w, h, bg,
+            rolling_shutter_time=rs_time, tile_size=16, max_per_tile=256, chunk=32,
+        )
+        acc = out.rgb if acc is None else acc + out.rgb
+    linear = acc / len(ts)
+    img = jnp.clip(linear, 0.0, 1.0) ** (1.0 / gamma)
+    return np.asarray(img)
+
+
+def generate_scene(
+    out_dir: str | Path,
+    n_gaussians: int = 200,
+    n_frames: int = 24,
+    img_size: int = 64,
+    exposure: float = 0.12,
+    rolling_shutter: float = 0.0,
+    n_blur_samples: int = 9,
+    gamma: float = 2.2,
+    seed: int = 0,
+    eval_interval: int = 8,
+) -> dict:
+    """Write a full reference-contract dataset; returns the scene dict."""
+    from PIL import Image
+
+    out_dir = Path(out_dir)
+    (out_dir / "images").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    gauss = make_random_gaussians(rng, n_gaussians)
+
+    fx = fy = img_size * 1.1
+    cx = cy = img_size / 2.0
+    frame_dt = 0.35  # seconds between frame midpoints along the orbit
+
+    frames = []
+    for i in range(n_frames):
+        t_mid = i * frame_dt
+        is_eval = i % eval_interval == 0
+        # Reference invariant: eval frames have zero velocity (sharp GT), see
+        # process_synthetic_inputs.py:287-293.
+        exp_i = 0.0 if is_eval else exposure
+        rs_i = 0.0 if is_eval else rolling_shutter
+        img = render_frame_gt(
+            gauss, orbit_pose_gl, t_mid, fx, fy, cx, cy, img_size, img_size,
+            exposure=exp_i, rs_time=rs_i, n_samples=1 if is_eval else n_blur_samples,
+            gamma=gamma,
+        )
+        name = f"images/frame_{i:05d}.png"
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out_dir / name)
+
+        v_gl, w_gl = trajectory_velocities_gl(orbit_pose_gl, t_mid)
+        if is_eval:
+            v_gl, w_gl = np.zeros(3), np.zeros(3)
+        frames.append(
+            {
+                "file_path": name,
+                "transform_matrix": orbit_pose_gl(t_mid).tolist(),
+                "camera_linear_velocity": np.asarray(v_gl).tolist(),
+                "camera_angular_velocity": np.asarray(w_gl).tolist(),
+                "motion_blur_score": 0.0 if is_eval else float(np.linalg.norm(v_gl)),
+            }
+        )
+
+    # Seed cloud: noisy subsample of the true means (stands in for SfM points).
+    sel = rng.choice(n_gaussians, size=min(n_gaussians, 128), replace=False)
+    pts = np.asarray(gauss["means"])[sel] + rng.normal(size=(len(sel), 3)) * 0.02
+    rgb = (np.asarray(gauss["colors"])[sel] * 255).astype(np.uint8)
+    ply_io.write_ply(out_dir / "sparse_pc.ply", pts, rgb)
+
+    meta = {
+        "w": img_size, "h": img_size,
+        "fl_x": fx, "fl_y": fy, "cx": cx, "cy": cy,
+        "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0,
+        "aabb_scale": 16,
+        "exposure_time": exposure,
+        "rolling_shutter_time": rolling_shutter,
+        "orientation_override": "none",
+        "ply_file_path": "sparse_pc.ply",
+        "frames": frames,
+    }
+    (out_dir / "transforms.json").write_text(json.dumps(meta, indent=2))
+    return {"gaussians": gauss, "meta": meta, "out_dir": out_dir}
