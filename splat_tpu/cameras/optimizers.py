@@ -44,6 +44,11 @@ class VelocityOptConfig:
     zero_initial_velocities: bool = False
     lin_l2_penalty: float = 0.0
     ang_l2_penalty: float = 0.0
+    # Symmetry-breaking noise for zero-init: at exactly v=0 with symmetric blur
+    # sample times, dL/dv = sum_s t_s * J = 0 — a saddle the deterministic
+    # optimizer can never leave. Tiny noise makes the sub-frames distinct so the
+    # true velocity signal appears. (Torch escapes via nondeterminism.)
+    init_noise: float = 1e-4
 
 
 def init_camera_opt_params(num_cameras: int, cfg: CameraOptConfig, dtype=jnp.float32):
@@ -57,9 +62,19 @@ def init_camera_opt_params(num_cameras: int, cfg: CameraOptConfig, dtype=jnp.flo
     }
 
 
-def init_velocity_opt_params(num_cameras: int, cfg: VelocityOptConfig, dtype=jnp.float32):
+def init_velocity_opt_params(
+    num_cameras: int, cfg: VelocityOptConfig, dtype=jnp.float32, seed: int = 0
+):
     if not cfg.enabled:
         return {}
+    if cfg.zero_initial_velocities and cfg.init_noise > 0:
+        import numpy as _np
+
+        rng = _np.random.default_rng(seed)
+        return {
+            "dv": jnp.asarray(rng.normal(size=(num_cameras, 3)) * cfg.init_noise, dtype=dtype),
+            "dom": jnp.asarray(rng.normal(size=(num_cameras, 3)) * cfg.init_noise, dtype=dtype),
+        }
     return {
         "dv": jnp.zeros((num_cameras, 3), dtype=dtype),
         "dom": jnp.zeros((num_cameras, 3), dtype=dtype),

@@ -1,0 +1,407 @@
+"""Training loop — the lean TPU-native replacement for nerfstudio's Trainer.
+
+Covers SURVEY.md §3.1's hot loop without the nerfstudio framework: per-step
+(camera, full image) sampling, jitted fused render+loss+grads+optimizer update,
+densify/cull on schedule (functional, static capacity, growth-by-doubling with
+recompile at refine boundaries only), per-group Adam with splatfacto 1.1.0
+learning rates (Appendix C), optional eval-camera pose/velocity optimization
+that never backprops into the scene (reference `--optimize-eval-cameras`,
+README.md:197), orbax checkpoints + a config manifest mirroring the reference's
+output-directory contract (SURVEY.md §5 checkpoint/resume).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..cameras.cameras import Cameras
+from ..data import dataparser as dp
+from ..data import dataset as ds
+from ..models import splatfacto as sf
+from ..models import strategy as st
+from ..ops.ssim import psnr as psnr_fn
+from ..ops.ssim import ssim as ssim_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    max_steps: int = 20000             # reference train.py:129-132 (3000 draft)
+    seed: int = 42
+    # per-group LRs (splatfacto 1.1.0, Appendix C)
+    lr_means: float = 1.6e-4
+    lr_means_final: float = 1.6e-6
+    lr_features_dc: float = 2.5e-3
+    lr_features_rest: float = 1.25e-4
+    lr_opacities: float = 5e-2
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_background: float = 5e-3
+    lr_camera_opt: float = 6e-4
+    lr_camera_opt_final: float = 6e-5
+    lr_velocity_opt: float = 1e-3
+    lr_velocity_opt_final: float = 1e-4
+    # schedule
+    eval_opt_every: int = 5            # eval-camera opt step cadence
+    grow_threshold: float = 0.9        # grow capacity when alive fraction exceeds
+    max_capacity: int = 1 << 21
+    checkpoint_every: int = 5000
+    log_every: int = 100
+
+
+def param_labels(params: sf.ModelParams) -> Any:
+    g_labels = sf.GaussianParams(
+        means="means", scales_log="scales", quats="quats",
+        opacities_logit="opacities", features_dc="features_dc",
+        features_rest="features_rest", alive="frozen",
+    )
+    lbl = lambda d, name: {k: name for k in d}
+    return sf.ModelParams(
+        gaussians=g_labels,
+        background_logit="background",
+        camera_opt=lbl(params.camera_opt, "camera_opt"),
+        velocity_opt=lbl(params.velocity_opt, "velocity_opt"),
+        eval_camera_opt=lbl(params.eval_camera_opt, "eval_camera_opt"),
+        eval_velocity_opt=lbl(params.eval_velocity_opt, "eval_velocity_opt"),
+    )
+
+
+def build_optimizer(params: sf.ModelParams, tc: TrainerConfig) -> optax.GradientTransformation:
+    exp = lambda init, final: optax.exponential_decay(
+        init, transition_steps=tc.max_steps, decay_rate=final / init
+    )
+    adam = lambda lr: optax.adam(lr, eps=1e-15)
+    txs = {
+        "means": optax.adam(exp(tc.lr_means, tc.lr_means_final), eps=1e-15),
+        "features_dc": adam(tc.lr_features_dc),
+        "features_rest": adam(tc.lr_features_rest),
+        "opacities": adam(tc.lr_opacities),
+        "scales": adam(tc.lr_scales),
+        "quats": adam(tc.lr_quats),
+        "background": adam(tc.lr_background),
+        "camera_opt": optax.adam(exp(tc.lr_camera_opt, tc.lr_camera_opt_final), eps=1e-15),
+        "velocity_opt": optax.adam(
+            exp(tc.lr_velocity_opt, tc.lr_velocity_opt_final), eps=1e-15
+        ),
+        "eval_camera_opt": optax.adam(exp(tc.lr_camera_opt, tc.lr_camera_opt_final), eps=1e-15),
+        "eval_velocity_opt": optax.adam(
+            exp(tc.lr_velocity_opt, tc.lr_velocity_opt_final), eps=1e-15
+        ),
+        "frozen": optax.set_to_zero(),
+    }
+    return optax.multi_transform(txs, param_labels(params))
+
+
+def make_train_step(
+    config: sf.SplatfactoConfig, optimizer: optax.GradientTransformation
+):
+    """Jitted: render -> loss -> grads -> optimizer update -> grad accumulation."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, opt_state, strat_state, camera, gt, step, key):
+        bg = sf.background_color(params, config, key)
+        sh_deg = sf.active_sh_degree(config, step)
+        probe = jnp.zeros_like(params.gaussians.means[:, :2])
+
+        def loss_fn(p, probe):
+            out = sf.render_camera(
+                p, camera, config, sh_deg, bg, means2d_probe=probe
+            )
+            pred = sf.gamma_encode(out.rgb, config)
+            loss, aux = sf.compute_losses(pred, gt, p, config)
+            return loss, aux
+
+        (loss, aux), (grads, probe_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, probe)
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        visible = jnp.linalg.norm(probe_grad, axis=-1) > 0
+        strat_state = st.accumulate_grads(
+            strat_state, probe_grad, visible, camera.width, camera.height
+        )
+        aux = dict(aux)
+        aux["n_visible"] = visible.sum()
+        return params, opt_state, strat_state, loss, aux
+
+    return train_step
+
+
+def make_eval_opt_step(
+    config: sf.SplatfactoConfig, eval_optimizer: optax.GradientTransformation
+):
+    """Optimize eval-camera pose/velocity params WITHOUT touching the scene
+    (stop_gradient on everything else) — reference `--optimize-eval-cameras`."""
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def eval_opt_step(params, eval_opt_state, camera, gt, step, key):
+        bg = sf.background_color(params, config, key)
+        sh_deg = sf.active_sh_degree(config, step)
+
+        def loss_fn(eval_cam, eval_vel):
+            frozen = jax.tree.map(jax.lax.stop_gradient, params)
+            p = frozen._replace(eval_camera_opt=eval_cam, eval_velocity_opt=eval_vel)
+            out = sf.render_camera(p, camera, config, sh_deg, bg, is_eval_camera=True)
+            pred = sf.gamma_encode(out.rgb, config)
+            loss, _ = sf.compute_losses(pred, gt, p, config)
+            return loss
+
+        grads = jax.grad(loss_fn, argnums=(0, 1))(
+            params.eval_camera_opt, params.eval_velocity_opt
+        )
+        gc, gv = grads
+        updates, eval_opt_state = eval_optimizer.update(
+            {"cam": gc, "vel": gv}, eval_opt_state,
+            {"cam": params.eval_camera_opt, "vel": params.eval_velocity_opt},
+        )
+        new = optax.apply_updates(
+            {"cam": params.eval_camera_opt, "vel": params.eval_velocity_opt}, updates
+        )
+        params = params._replace(eval_camera_opt=new["cam"], eval_velocity_opt=new["vel"])
+        return params, eval_opt_state
+
+    return eval_opt_step
+
+
+def zero_gaussian_opt_slots(opt_state, changed: jax.Array, capacity: int):
+    """Zero Adam moments at refreshed gaussian slots (splatfacto resets opt
+    state for dup/split params). Applies to every opt-state leaf whose leading
+    dim equals the gaussian capacity."""
+
+    def fix(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == capacity:
+            mask = changed.reshape((capacity,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(mask, jnp.zeros_like(leaf), leaf)
+        return leaf
+
+    return jax.tree.map(fix, opt_state)
+
+
+@dataclasses.dataclass
+class Trainer:
+    scene: dp.ParsedScene
+    model_config: sf.SplatfactoConfig
+    trainer_config: TrainerConfig = TrainerConfig()
+    output_dir: Path | None = None
+
+    def __post_init__(self):
+        self.train_images, self.eval_images = ds.load_scene_images(self.scene)
+        cfg, tc = self.model_config, self.trainer_config
+        self.params = sf.init_model(
+            self.scene.points_xyz, self.scene.points_rgb,
+            len(self.scene.train_cameras), len(self.scene.eval_cameras),
+            cfg, seed=tc.seed,
+        )
+        # Route per-camera params by position within the split (cam_idx must be
+        # local to the split's parameter tables).
+        self.train_cams = self._localize(self.scene.train_cameras)
+        self.eval_cams = self._localize(self.scene.eval_cameras)
+
+        self.optimizer = build_optimizer(self.params, tc)
+        self.opt_state = self.optimizer.init(self.params)
+        self.strat_state = st.init_strategy_state(
+            self.params.gaussians.alive.shape[0], tc.seed
+        )
+        self.train_step = make_train_step(cfg, self.optimizer)
+        self.refine = st.make_refine(cfg)
+        self.reset_opacity = st.make_reset_opacity(cfg)
+        if cfg.optimize_eval_cameras and self.params.eval_camera_opt:
+            self.eval_optimizer = optax.adam(tc.lr_camera_opt, eps=1e-15)
+            self.eval_opt_state = self.eval_optimizer.init(
+                {"cam": self.params.eval_camera_opt, "vel": self.params.eval_velocity_opt}
+            )
+            self.eval_opt_step = make_eval_opt_step(cfg, self.eval_optimizer)
+        else:
+            self.eval_opt_state = None
+        self.key = jax.random.PRNGKey(tc.seed)
+        self.step = 0
+        self.history: list[dict] = []
+
+    @staticmethod
+    def _localize(cams: Cameras) -> Cameras:
+        leaves, aux = cams.tree_flatten()
+        d = dict(zip(Cameras._leaf_names, leaves))
+        d["cam_idx"] = jnp.arange(len(cams), dtype=jnp.int32)
+        return Cameras(width=aux[0], height=aux[1], **d)
+
+    def _maybe_grow(self):
+        g = self.params.gaussians
+        cap = g.alive.shape[0]
+        frac = float(g.alive.sum()) / cap
+        tc = self.trainer_config
+        if frac > tc.grow_threshold and cap < tc.max_capacity:
+            new_cap = min(cap * 2, tc.max_capacity)
+            self.params = self.params._replace(gaussians=st.grow_capacity(g, new_cap))
+            self.opt_state = self.optimizer.init(self.params)  # re-init (capacity changed)
+            self.strat_state = st.init_strategy_state(new_cap, self.trainer_config.seed)
+            return True
+        return False
+
+    def run(self, max_steps: int | None = None, progress_cb: Callable | None = None):
+        cfg, tc = self.model_config, self.trainer_config
+        n_train = len(self.train_cams)
+        steps = max_steps if max_steps is not None else tc.max_steps
+        order = None
+        t0 = time.time()
+        for _ in range(steps):
+            i = self.step % n_train
+            if i == 0 or order is None:
+                self.key, k = jax.random.split(self.key)
+                order = np.asarray(jax.random.permutation(k, n_train))
+            ci = int(order[i])
+            cam = self.train_cams[ci]
+            gt = jnp.asarray(self.train_images.images[ci])
+            self.key, k = jax.random.split(self.key)
+            (self.params, self.opt_state, self.strat_state, loss, aux) = self.train_step(
+                self.params, self.opt_state, self.strat_state, cam, gt,
+                jnp.asarray(self.step), k,
+            )
+
+            # eval-camera optimization (scene frozen)
+            if (
+                self.eval_opt_state is not None
+                and self.step % tc.eval_opt_every == 0
+                and len(self.eval_cams) > 0
+            ):
+                ei = (self.step // tc.eval_opt_every) % len(self.eval_cams)
+                ecam = self.eval_cams[ei]
+                egt = jnp.asarray(self.eval_images.images[ei])
+                self.key, k = jax.random.split(self.key)
+                self.params, self.eval_opt_state = self.eval_opt_step(
+                    self.params, self.eval_opt_state, ecam, egt, jnp.asarray(self.step), k
+                )
+
+            self.step += 1
+
+            # refinement schedule
+            if (
+                self.step % cfg.refine_every == 0
+                and cfg.warmup_length <= self.step
+            ):
+                self.params = self.params._replace(
+                    gaussians=self._refine_gaussians()
+                )
+                if self._maybe_grow():
+                    pass  # opt/strategy state re-initialized at new capacity
+                n_ref = self.step // cfg.refine_every
+                if cfg.reset_alpha_every > 0 and n_ref % cfg.reset_alpha_every == 0 and self.step < cfg.stop_split_at:
+                    self.params = self.params._replace(
+                        gaussians=self.reset_opacity(self.params.gaussians)
+                    )
+
+            if self.step % tc.log_every == 0 or self.step == steps:
+                rec = {
+                    "step": self.step,
+                    "loss": float(loss),
+                    "n_alive": int(self.params.gaussians.alive.sum()),
+                    "wall_s": time.time() - t0,
+                }
+                self.history.append(rec)
+                if progress_cb:
+                    progress_cb(rec)
+        return self.history
+
+    def _refine_gaussians(self):
+        g, s, changed, _info = self.refine(
+            self.params.gaussians, self.strat_state, jnp.asarray(self.step)
+        )
+        self.strat_state = s
+        self.opt_state = zero_gaussian_opt_slots(
+            self.opt_state, changed, g.alive.shape[0]
+        )
+        return g
+
+    # ------------------------------------------------------------------ eval
+    def render_eval(self, idx: int) -> np.ndarray:
+        cfg = self.model_config
+        cam = self.eval_cams[idx]
+        bg = sf.background_color(self.params, cfg)
+        out = sf.render_camera(
+            self.params, cam, cfg, int(sf.active_sh_degree(cfg, self.step)), bg,
+            is_eval_camera=True,
+        )
+        return np.asarray(sf.gamma_encode(out.rgb, cfg))
+
+    def evaluate(self) -> dict:
+        cfg = self.model_config
+        metrics = {"psnr": [], "ssim": []}
+        for i in range(len(self.eval_cams)):
+            pred = jnp.asarray(self.render_eval(i))
+            gt = jnp.asarray(self.eval_images.images[i])
+            metrics["psnr"].append(float(psnr_fn(pred, gt)))
+            metrics["ssim"].append(float(ssim_fn(pred, gt)))
+        out = {k: float(np.mean(v)) for k, v in metrics.items() if v}
+        lpips = compute_lpips_suite(
+            [self.render_eval(i) for i in range(len(self.eval_cams))],
+            [self.eval_images.images[i] for i in range(len(self.eval_cams))],
+        )
+        if lpips is not None:
+            out["lpips"] = lpips
+        return out
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, path: str | Path):
+        import orbax.checkpoint as ocp
+
+        path = Path(path).absolute()
+        ckptr = ocp.StandardCheckpointer()
+        state = {
+            "gaussians": self.params.gaussians._asdict(),
+            "background_logit": self.params.background_logit,
+            "camera_opt": self.params.camera_opt,
+            "velocity_opt": self.params.velocity_opt,
+            "eval_camera_opt": self.params.eval_camera_opt,
+            "eval_velocity_opt": self.params.eval_velocity_opt,
+            "step": jnp.asarray(self.step),
+        }
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str | Path):
+        import orbax.checkpoint as ocp
+
+        path = Path(path).absolute()
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "gaussians": self.params.gaussians._asdict(),
+            "background_logit": self.params.background_logit,
+            "camera_opt": self.params.camera_opt,
+            "velocity_opt": self.params.velocity_opt,
+            "eval_camera_opt": self.params.eval_camera_opt,
+            "eval_velocity_opt": self.params.eval_velocity_opt,
+            "step": jnp.asarray(self.step),
+        }
+        state = ckptr.restore(path, template)
+        self.params = self.params._replace(
+            gaussians=sf.GaussianParams(**state["gaussians"]),
+            background_logit=state["background_logit"],
+            camera_opt=state["camera_opt"],
+            velocity_opt=state["velocity_opt"],
+            eval_camera_opt=state["eval_camera_opt"],
+            eval_velocity_opt=state["eval_velocity_opt"],
+        )
+        self.step = int(state["step"])
+
+
+def compute_lpips_suite(preds, gts) -> float | None:
+    """LPIPS if pretrained backbone weights are available locally; else None.
+
+    The reference reports lpips via torchmetrics' pretrained VGG/AlexNet
+    (SURVEY.md §7 hard part 4); this environment has no network access and no
+    cached weights, so lpips degrades gracefully to null in metrics.json.
+    """
+    try:
+        from ..ops.lpips import lpips_batch
+
+        return lpips_batch(preds, gts)
+    except Exception:
+        return None

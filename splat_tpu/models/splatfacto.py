@@ -1,0 +1,349 @@
+"""SplatfactoModel equivalent — the 3dgs-deblur method core, TPU-native.
+
+Re-designs the reference fork's `models/splatfacto.py` (SURVEY.md §2b row
+splatfacto, §3.1 hot loop, Appendix B) as a functional JAX model:
+
+  * Gaussian parameters live in FIXED-CAPACITY padded arrays with an `alive`
+    mask (XLA static shapes; SURVEY.md §7 hard part 1) — densify/cull are
+    functional updates in `strategy.py`.
+  * `render_camera` implements the method: camera-optimizer pose correction,
+    velocity prior + learnable delta, `blur_samples` sub-frame poses over the
+    exposure window (SE(3) advance, Appendix B.2), per-sub-frame projection
+    with screen velocities, tile rasterization with per-scanline rolling
+    shutter (Appendix B.3), linear-space averaging and gamma encoding with a
+    black-level floor (Appendix B.4).
+  * The blur-sample loop is vmapped — sub-frames are data-parallel until the
+    final average (SURVEY.md §2d: the "second embarrassingly parallel axis").
+
+Reference flag surface covered (train.py:14-70): blur-samples,
+rolling-shutter-compensation, gamma, min-rgb-level, background-color auto,
+camera-optimizer.mode, camera-velocity-optimizer.{enabled,zero-initial-velocities},
+rasterize-mode antialiased, sh-degree, use-scale-regularization.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import optimizers as cam_opt
+from ..cameras.cameras import Cameras
+from ..ops import projection, rasterize, reference, se3, sh
+from ..ops.reference import RenderOutput
+
+
+@dataclasses.dataclass(frozen=True)
+class SplatfactoConfig:
+    # --- method flags (reference train.py:14-70) ---
+    blur_samples: int = 5                      # 0 = motion-blur compensation off
+    rolling_shutter_compensation: bool = True
+    gamma: float = 2.2                         # 1.0 when MB compensation off
+    min_rgb_level: float = 10.0                # black-level floor, 0..255 scale
+    background_color: str = "auto"             # auto (learnable) | black | white | random
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    rasterize_mode: str = "antialiased"        # antialiased | classic
+    use_scale_regularization: bool = True
+    max_gauss_ratio: float = 10.0
+    camera_optimizer: cam_opt.CameraOptConfig = cam_opt.CameraOptConfig()
+    camera_velocity_optimizer: cam_opt.VelocityOptConfig = cam_opt.VelocityOptConfig()
+    optimize_eval_cameras: bool = False
+    optimize_eval_velocities: bool = True
+    # --- losses ---
+    ssim_lambda: float = 0.2
+    scale_reg_weight: float = 0.1
+    # --- densification schedule (Appendix C) ---
+    warmup_length: int = 500
+    refine_every: int = 100
+    stop_split_at: int = 15000
+    densify_grad_thresh: float = 0.0008
+    densify_size_thresh: float = 0.01
+    cull_alpha_thresh: float = 0.1
+    cull_scale_thresh: float = 0.5
+    reset_alpha_every: int = 30                # x refine_every steps
+    n_split_samples: int = 2
+    # --- rasterizer knobs ---
+    tile_size: int = 16
+    max_per_tile: int = 512
+    max_tiles_per_gaussian: int = 64
+    chunk: int = 32
+    impl: str = "jnp"                          # jnp | pallas
+    # --- capacity ---
+    initial_capacity: int = 0                  # 0 = auto from seed points
+
+
+class GaussianParams(NamedTuple):
+    """Fixed-capacity Gaussian cloud (leading dim = capacity)."""
+
+    means: jax.Array          # (C, 3)
+    scales_log: jax.Array     # (C, 3) log-scale
+    quats: jax.Array          # (C, 4)
+    opacities_logit: jax.Array  # (C,)
+    features_dc: jax.Array    # (C, 3) SH degree-0 coefficients
+    features_rest: jax.Array  # (C, B-1, 3) higher SH coefficients
+    alive: jax.Array          # (C,) float32 0/1 mask (float so jax.grad accepts
+                              # the pytree; the optimizer label freezes it)
+
+
+class ModelParams(NamedTuple):
+    gaussians: GaussianParams
+    background_logit: jax.Array      # (3,) used when background_color == "auto"
+    camera_opt: dict[str, jax.Array]       # train-camera pose deltas
+    velocity_opt: dict[str, jax.Array]     # train-camera velocity deltas
+    eval_camera_opt: dict[str, jax.Array]  # eval-camera pose deltas
+    eval_velocity_opt: dict[str, jax.Array]
+
+
+def init_model(
+    points_xyz: np.ndarray | None,
+    points_rgb: np.ndarray | None,
+    num_train_cameras: int,
+    num_eval_cameras: int,
+    config: SplatfactoConfig,
+    capacity: int | None = None,
+    seed: int = 0,
+    scene_scale: float = 1.0,
+) -> ModelParams:
+    """Seed Gaussians from the sparse point cloud (reference Appendix C)."""
+    rng = np.random.default_rng(seed)
+    if points_xyz is None or len(points_xyz) == 0:
+        points_xyz = rng.uniform(-1.0, 1.0, size=(5000, 3)).astype(np.float32) * scene_scale
+        points_rgb = None
+    n = points_xyz.shape[0]
+    if capacity is None:
+        capacity = config.initial_capacity or max(1 << int(np.ceil(np.log2(max(n * 4, 512)))), 512)
+
+    # Initial scale: mean distance to 3 nearest neighbours (splatfacto heuristic).
+    sub = points_xyz[rng.choice(n, size=min(n, 2048), replace=False)]
+    d2 = ((points_xyz[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+    d2.sort(axis=1)
+    k = min(4, d2.shape[1])
+    nn_dist = np.sqrt(np.maximum(d2[:, 1:k].mean(axis=1), 1e-12))
+    nn_dist = np.maximum(nn_dist, 1e-5)
+    # Robustness for sparse seed clouds: isolated points would get huge initial
+    # splats that wash out the image and drive every opacity to zero — cap at
+    # 2x the median neighbour distance (no-op for dense SfM clouds).
+    nn_dist = np.minimum(nn_dist, 2.0 * np.median(nn_dist))
+
+    means = np.zeros((capacity, 3), np.float32)
+    means[:n] = points_xyz
+    scales_log = np.full((capacity, 3), -8.0, np.float32)
+    scales_log[:n] = np.log(nn_dist)[:, None]
+    quats = np.zeros((capacity, 4), np.float32)
+    q = rng.normal(size=(capacity, 4))
+    quats[:] = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    opac = np.full((capacity,), _logit(0.1), np.float32)
+    n_bases = sh.num_sh_bases(config.sh_degree)
+    fdc = np.zeros((capacity, 3), np.float32)
+    if points_rgb is not None:
+        # invert the +0.5 SH-DC shift: dc = (rgb - 0.5) / C0
+        fdc[:n] = (points_rgb.astype(np.float32) / 255.0 - 0.5) / 0.28209479177387814
+    else:
+        fdc[:n] = rng.uniform(-0.5, 0.5, size=(n, 3))
+    frest = np.zeros((capacity, n_bases - 1, 3), np.float32)
+    alive = np.zeros((capacity,), np.float32)
+    alive[:n] = 1.0
+
+    gauss = GaussianParams(
+        means=jnp.asarray(means),
+        scales_log=jnp.asarray(scales_log),
+        quats=jnp.asarray(quats),
+        opacities_logit=jnp.asarray(opac),
+        features_dc=jnp.asarray(fdc),
+        features_rest=jnp.asarray(frest),
+        alive=jnp.asarray(alive),
+    )
+    return ModelParams(
+        gaussians=gauss,
+        background_logit=jnp.zeros((3,), jnp.float32),
+        camera_opt=cam_opt.init_camera_opt_params(num_train_cameras, config.camera_optimizer),
+        velocity_opt=cam_opt.init_velocity_opt_params(
+            num_train_cameras, config.camera_velocity_optimizer
+        ),
+        eval_camera_opt=cam_opt.init_camera_opt_params(
+            num_eval_cameras, config.camera_optimizer
+        ) if config.optimize_eval_cameras else {},
+        eval_velocity_opt=cam_opt.init_velocity_opt_params(
+            num_eval_cameras, config.camera_velocity_optimizer
+        ) if config.optimize_eval_cameras else {},
+    )
+
+
+def _logit(p: float) -> float:
+    return float(np.log(p / (1 - p)))
+
+
+def active_sh_degree(config: SplatfactoConfig, step: jax.Array | int) -> jax.Array:
+    return jnp.minimum(jnp.asarray(step) // config.sh_degree_interval, config.sh_degree)
+
+
+def background_color(
+    params: ModelParams, config: SplatfactoConfig, key: jax.Array | None = None
+) -> jax.Array:
+    if config.background_color == "auto":
+        return jax.nn.sigmoid(params.background_logit)
+    if config.background_color == "white":
+        return jnp.ones(3)
+    if config.background_color == "random":
+        assert key is not None
+        return jax.random.uniform(key, (3,))
+    return jnp.zeros(3)
+
+
+def blur_sample_times(camera_exposure: jax.Array, config: SplatfactoConfig) -> jax.Array:
+    """epsilon_s: `blur_samples` points spanning [-T_exp/2, +T_exp/2] (App. B.1)."""
+    s = max(config.blur_samples, 1)
+    if s == 1:
+        return jnp.zeros((1,))
+    frac = jnp.linspace(-0.5, 0.5, s)
+    return frac * camera_exposure
+
+
+def render_camera(
+    params: ModelParams,
+    camera: Cameras,
+    config: SplatfactoConfig,
+    sh_degree_active: int,
+    background: jax.Array,
+    is_eval_camera: bool = False,
+    means2d_probe: jax.Array | None = None,
+) -> RenderOutput:
+    """Render one camera (leading dim 1) with the full method.
+
+    means2d_probe: optional (C, 2) zeros added to every sub-frame's projected
+    means — its cotangent is the accumulated screen-space positional gradient
+    the densification strategy consumes (replaces CUDA's xys.grad hook).
+    """
+    g = params.gaussians
+    cam_params = (params.eval_camera_opt, params.eval_velocity_opt) if is_eval_camera else (
+        params.camera_opt, params.velocity_opt)
+    camera = cam_opt.apply_camera_opt(camera, cam_params[0], config.camera_optimizer)
+    vel_cfg = config.camera_velocity_optimizer
+    if is_eval_camera and not config.optimize_eval_velocities:
+        vel_cfg = dataclasses.replace(vel_cfg, enabled=False)
+    camera = cam_opt.apply_velocity_opt(camera, cam_params[1], vel_cfg)
+
+    # Per-gaussian raw quantities. stop_gradient on the alive mask: it is a
+    # structural flag, not a differentiable quantity.
+    scales = jnp.exp(g.scales_log)
+    opac = jax.nn.sigmoid(g.opacities_logit) * jax.lax.stop_gradient(g.alive)
+    coeffs = jnp.concatenate([g.features_dc[:, None, :], g.features_rest], axis=1)
+
+    R0, p0 = camera.R_c2w[0], camera.p_c2w[0]
+    v = camera.lin_vel[0]
+    om = camera.ang_vel[0]
+    exposure = camera.exposure_time[0]
+    rs_time = jnp.where(
+        config.rolling_shutter_compensation, camera.rolling_shutter_time[0], 0.0
+    )
+    use_motion = config.blur_samples > 0 or config.rolling_shutter_compensation
+    if not use_motion:
+        v = jnp.zeros(3)
+        om = jnp.zeros(3)
+
+    eps = blur_sample_times(exposure, config) if config.blur_samples > 0 else jnp.zeros((1,))
+
+    fx, fy = camera.fx[0], camera.fy[0]
+    cx, cy = camera.cx[0], camera.cy[0]
+    w, h = camera.width, camera.height
+
+    def render_subframe(t_s):
+        Rt, pt = se3.se3_advance_c2w(R0, p0, v, om, t_s)
+        R_cw = Rt.T
+        t_cw = -jnp.matmul(R_cw, pt, precision=jax.lax.Precision.HIGHEST)
+        proj = projection.project_gaussians(
+            g.means, scales, g.quats, R_cw, t_cw, fx, fy, cx, cy, w, h,
+            lin_vel=v if use_motion else None,
+            ang_vel=om if use_motion else None,
+        )
+        if means2d_probe is not None:
+            proj = proj._replace(means2d=proj.means2d + means2d_probe)
+        if config.rasterize_mode == "classic":
+            proj = proj._replace(compensations=jnp.ones_like(proj.compensations))
+        # View-dependent color from the sub-frame camera position.
+        dirs = g.means - pt
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+        colors = sh_eval_switch(sh_degree_active, config.sh_degree, dirs, coeffs)
+        return rasterize.rasterize(
+            proj, colors, opac, w, h, background,
+            rolling_shutter_time=rs_time,
+            tile_size=config.tile_size,
+            max_per_tile=config.max_per_tile,
+            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+            chunk=config.chunk,
+            impl=config.impl,
+        )
+
+    outs = jax.vmap(render_subframe)(eps)  # sub-frames are data-parallel
+    rgb = outs.rgb.mean(axis=0)
+    alpha = outs.alpha.mean(axis=0)
+    depth = outs.depth[outs.depth.shape[0] // 2]  # mid-exposure depth
+    T = outs.transmittance.mean(axis=0)
+    return RenderOutput(rgb=rgb, alpha=alpha, depth=depth, transmittance=T)
+
+
+def sh_eval_switch(
+    degree_active: jax.Array | int, max_degree: int, dirs: jax.Array, coeffs: jax.Array
+) -> jax.Array:
+    """SH eval with a *traced* active degree: evaluate the full basis and mask
+    the inactive bands (static shapes; the masked FLOPs are negligible)."""
+    basis = sh.eval_sh_basis(max_degree, dirs)  # (N, B)
+    bands = jnp.asarray(
+        [int(np.floor(np.sqrt(i))) for i in range(basis.shape[-1])], dtype=jnp.int32
+    )
+    mask = bands <= jnp.asarray(degree_active)
+    out = jnp.einsum("nk,nkc->nc", basis * mask[None, :], coeffs)
+    return jnp.maximum(out + 0.5, 0.0)
+
+
+def gamma_encode(linear_rgb: jax.Array, config: SplatfactoConfig) -> jax.Array:
+    """C_out = clip(mean_linear)^(1/gamma) (Appendix B.4); gamma==1 is identity."""
+    if config.gamma == 1.0:
+        return linear_rgb
+    return jnp.clip(linear_rgb, 1e-6, 1.0) ** (1.0 / config.gamma)
+
+
+def apply_black_level(img: jax.Array, config: SplatfactoConfig) -> jax.Array:
+    """min-rgb-level floor: renders/GT are compared above the black level
+    (Appendix B.4 — exact fork placement is internal; we floor both sides)."""
+    m = config.min_rgb_level / 255.0
+    if m <= 0:
+        return img
+    return jnp.maximum(img, m)
+
+
+def compute_losses(
+    pred_rgb: jax.Array,
+    gt_rgb: jax.Array,
+    params: ModelParams,
+    config: SplatfactoConfig,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """(1-l)*L1 + l*(1-SSIM) + scale regularization + camera-opt penalty."""
+    from ..ops.ssim import ssim as ssim_fn
+
+    pred = apply_black_level(pred_rgb, config)
+    gt = apply_black_level(gt_rgb, config)
+    l1 = jnp.abs(pred - gt).mean()
+    ssim_val = ssim_fn(pred, gt)
+    loss = (1.0 - config.ssim_lambda) * l1 + config.ssim_lambda * (1.0 - ssim_val)
+
+    aux = {"l1": l1, "ssim": ssim_val}
+    if config.use_scale_regularization:
+        g = params.gaussians
+        s = jnp.exp(g.scales_log)
+        ratio = s.max(axis=-1) / jnp.maximum(s.min(axis=-1), 1e-12)
+        excess = jnp.maximum(ratio, config.max_gauss_ratio) - config.max_gauss_ratio
+        alive = jax.lax.stop_gradient(g.alive)
+        n_alive = jnp.maximum(alive.sum(), 1.0)
+        scale_reg = config.scale_reg_weight * ((excess * alive).sum() / n_alive)
+        loss = loss + scale_reg
+        aux["scale_reg"] = scale_reg
+    pen = cam_opt.camera_opt_penalty(params.camera_opt, config.camera_optimizer)
+    loss = loss + pen
+    aux["camera_opt_penalty"] = pen
+    aux["loss"] = loss
+    return loss, aux

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .se3 import quat_to_rotmat
+from .se3 import quat_normalize, quat_to_rotmat
 
 # gsplat constants (Appendix B.5): low-pass dilation of the 2D covariance, and the
 # antialiased opacity compensation that corrects for it.
@@ -46,8 +46,11 @@ class ProjectedGaussians(NamedTuple):
 
 
 def scale_quat_to_cov3d(scales: jax.Array, quats: jax.Array) -> jax.Array:
-    """Sigma_3 = R(q) diag(s)^2 R(q)^T. scales (N,3), quats (N,4) -> (N,3,3)."""
-    R = quat_to_rotmat(quats)
+    """Sigma_3 = R(q) diag(s)^2 R(q)^T. scales (N,3), quats (N,4) -> (N,3,3).
+
+    Quats are normalized here (gsplat kernel semantics — raw optimizer
+    parameters may drift off the unit sphere)."""
+    R = quat_to_rotmat(quat_normalize(quats))
     M = R * scales[..., None, :]  # R @ diag(s)
     return jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=jax.lax.Precision.HIGHEST)
 

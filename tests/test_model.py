@@ -1,0 +1,184 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splat_tpu.cameras import optimizers as cam_opt
+from splat_tpu.cameras.cameras import Cameras
+from splat_tpu.models import splatfacto as sf
+from splat_tpu.models import strategy as st
+
+
+def tiny_config(**kw):
+    base = dict(
+        blur_samples=3, sh_degree=1, tile_size=8, max_per_tile=64,
+        max_tiles_per_gaussian=16, chunk=8, warmup_length=10, refine_every=20,
+        background_color="black",
+    )
+    base.update(kw)
+    return sf.SplatfactoConfig(**base)
+
+
+def make_camera(n=1, img=32, exposure=0.1, rs=0.0, vel=True):
+    R = jnp.tile(jnp.eye(3)[None], (n, 1, 1))
+    p = jnp.tile(jnp.array([[0.0, 0.0, -4.0]]), (n, 1))
+    f = jnp.full((n,), img * 1.2)
+    c = jnp.full((n,), img / 2.0)
+    lv = jnp.tile(jnp.array([[0.6, 0.2, 0.0]]), (n, 1)) if vel else None
+    av = jnp.tile(jnp.array([[0.0, 0.1, 0.2]]), (n, 1)) if vel else None
+    return Cameras(R, p, f, f, c, c, img, img, lin_vel=lv, ang_vel=av,
+                   exposure_time=jnp.full((n,), exposure),
+                   rolling_shutter_time=jnp.full((n,), rs))
+
+
+@pytest.fixture(scope="module")
+def model():
+    rng = np.random.default_rng(0)
+    pts = (rng.normal(size=(100, 3)) * 0.5).astype(np.float32)
+    rgb = rng.integers(0, 255, size=(100, 3)).astype(np.uint8)
+    cfg = tiny_config()
+    params = sf.init_model(pts, rgb, 4, 2, cfg)
+    return params, cfg
+
+
+def test_render_camera_basic(model):
+    params, cfg = model
+    cam = make_camera()
+    out = sf.render_camera(params, cam, cfg, 1, jnp.zeros(3))
+    assert out.rgb.shape == (32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(out.rgb)))
+    assert float(out.alpha.max()) > 0.1  # scene visible
+
+
+def test_blur_samples_change_render(model):
+    params, cfg = model
+    cam = make_camera(exposure=0.3)
+    out1 = sf.render_camera(params, cam, dataclasses.replace(cfg, blur_samples=1), 1, jnp.zeros(3))
+    out5 = sf.render_camera(params, cam, dataclasses.replace(cfg, blur_samples=5), 1, jnp.zeros(3))
+    assert float(jnp.abs(out1.rgb - out5.rgb).max()) > 1e-3  # blur visibly differs
+    # with zero exposure and velocity, sample count is irrelevant
+    cam0 = make_camera(exposure=0.0, vel=False)
+    a = sf.render_camera(params, cam0, dataclasses.replace(cfg, blur_samples=1), 1, jnp.zeros(3))
+    b = sf.render_camera(params, cam0, dataclasses.replace(cfg, blur_samples=5), 1, jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb), atol=1e-6)
+
+
+def test_rolling_shutter_compensation_flag(model):
+    params, cfg = model
+    cam = make_camera(rs=0.05)
+    on = sf.render_camera(params, cam, dataclasses.replace(cfg, rolling_shutter_compensation=True), 1, jnp.zeros(3))
+    off = sf.render_camera(params, cam, dataclasses.replace(cfg, rolling_shutter_compensation=False), 1, jnp.zeros(3))
+    assert float(jnp.abs(on.rgb - off.rgb).max()) > 1e-4
+
+
+def test_velocity_gradients_flow(model):
+    params, cfg = model
+    cfg = dataclasses.replace(
+        cfg,
+        camera_velocity_optimizer=cam_opt.VelocityOptConfig(enabled=True, zero_initial_velocities=True),
+    )
+    params = params._replace(
+        velocity_opt=cam_opt.init_velocity_opt_params(4, cfg.camera_velocity_optimizer)
+    )
+    cam = make_camera(exposure=0.3)
+    tgt = jnp.full((32, 32, 3), 0.5)
+
+    def loss(vel_params):
+        p = params._replace(velocity_opt=vel_params)
+        out = sf.render_camera(p, cam, cfg, 1, jnp.zeros(3))
+        return jnp.mean((out.rgb - tgt) ** 2)
+
+    # NOTE: at exactly v=0 the symmetric blur samples make dL/dv identically
+    # zero (saddle; see VelocityOptConfig.init_noise) — evaluate the gradient
+    # at a realistic nonzero velocity.
+    vel = {"dv": jnp.full((4, 3), 0.1), "dom": jnp.full((4, 3), 0.05)}
+    g = jax.grad(loss)(vel)
+    assert float(jnp.abs(g["dv"]).sum()) > 0
+    assert float(jnp.abs(g["dom"]).sum()) > 0
+    # zero-init params carry symmetry-breaking noise
+    init = cam_opt.init_velocity_opt_params(4, cfg.camera_velocity_optimizer)
+    assert float(jnp.abs(init["dv"]).sum()) > 0
+
+
+def test_gamma_and_black_level():
+    cfg = tiny_config(gamma=2.2, min_rgb_level=10.0)
+    x = jnp.array([[[0.0, 0.25, 1.0]]])
+    enc = sf.gamma_encode(x, cfg)
+    np.testing.assert_allclose(float(enc[0, 0, 1]), 0.25 ** (1 / 2.2), rtol=1e-5)
+    floored = sf.apply_black_level(enc, cfg)
+    assert float(floored[0, 0, 0]) == pytest.approx(10.0 / 255.0)
+
+
+def test_sh_eval_switch_degree_masking(model):
+    params, _ = model
+    g = params.gaussians
+    coeffs = jnp.concatenate([g.features_dc[:, None, :], g.features_rest], axis=1)
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (coeffs.shape[0], 1))
+    c0 = sf.sh_eval_switch(0, 1, dirs, coeffs)
+    c1 = sf.sh_eval_switch(jnp.asarray(0), 1, dirs, coeffs)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-7)
+
+
+def test_refine_cull_and_clone():
+    rng = np.random.default_rng(1)
+    pts = (rng.normal(size=(20, 3))).astype(np.float32)
+    cfg = tiny_config(warmup_length=0, cull_alpha_thresh=0.1, densify_grad_thresh=1e-9,
+                      densify_size_thresh=1e9)  # everything clones, nothing splits
+    params = sf.init_model(pts, None, 1, 1, cfg, capacity=64)
+    g = params.gaussians
+    # healthy opacities/scales everywhere, then kill gaussian 0 via opacity
+    g = g._replace(
+        opacities_logit=jnp.full_like(g.opacities_logit, 2.0).at[0].set(-10.0),
+        scales_log=jnp.full_like(g.scales_log, -3.0),
+    )
+    state = st.init_strategy_state(64)
+    state = state._replace(
+        grad_accum=jnp.where(jnp.arange(64) < 20, 1.0, 0.0),
+        grad_count=jnp.where(jnp.arange(64) < 20, 1, 0).astype(jnp.int32),
+    )
+    refine = st.make_refine(cfg)
+    g2, state2, changed, info = refine(g, state, jnp.asarray(100))
+    assert int(info["n_culled"]) == 1
+    assert int(info["n_cloned"]) == 19   # survivors clone
+    assert int(info["n_alive"]) == 19 + 19
+    assert bool(changed[0])              # culled slot marked changed
+    # grad accum reset
+    assert float(state2.grad_accum.sum()) == 0.0
+
+
+def test_refine_split_moves_and_shrinks():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(8, 3)).astype(np.float32)
+    cfg = tiny_config(warmup_length=0, densify_grad_thresh=1e-9, densify_size_thresh=1e-9,
+                      cull_alpha_thresh=0.01)
+    params = sf.init_model(pts, None, 1, 1, cfg, capacity=32)
+    g = params.gaussians
+    # keep scales below the cull threshold but above the split threshold
+    g = g._replace(scales_log=jnp.full_like(g.scales_log, -3.0))
+    state = st.init_strategy_state(32)
+    state = state._replace(
+        grad_accum=jnp.where(jnp.arange(32) < 8, 1.0, 0.0),
+        grad_count=jnp.ones((32,), jnp.int32),
+    )
+    refine = st.make_refine(cfg)
+    g2, _, _, info = refine(g, state, jnp.asarray(100))
+    assert int(info["n_split"]) == 8
+    assert int(info["n_alive"]) == 16
+    # split shrinks scales by 1.6
+    alive2 = np.asarray(g2.alive) > 0.5
+    s_new = np.exp(np.asarray(g2.scales_log)[alive2])
+    s_old = np.exp(np.asarray(g.scales_log)[np.asarray(g.alive) > 0.5])
+    assert s_new.max() < s_old.max() / 1.5
+
+
+def test_grow_capacity():
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(10, 3)).astype(np.float32)
+    cfg = tiny_config()
+    params = sf.init_model(pts, None, 1, 1, cfg, capacity=16)
+    g2 = st.grow_capacity(params.gaussians, 64)
+    assert g2.means.shape[0] == 64
+    assert int((g2.alive > 0.5).sum()) == 10
+    np.testing.assert_array_equal(np.asarray(g2.means[:16]), np.asarray(params.gaussians.means))
