@@ -1,0 +1,96 @@
+"""Pallas kernels vs the jnp tile path (interpret mode on CPU).
+
+The real-TPU execution of the same kernels is exercised by bench.py and the
+TPU smoke script; these tests pin the numerics (forward AND backward) against
+the autodiff'd jnp compositing path, which itself is pinned to the sequential
+oracle in test_rasterize.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splat_tpu.ops import projection, rasterize
+
+
+def make_scene(n=120, seed=0, img_w=32, img_h=24, vel=True):
+    rng = np.random.default_rng(seed)
+    fx = fy = 40.0
+    cx, cy = img_w / 2.0, img_h / 2.0
+    means = rng.normal(size=(n, 3)) * np.array([0.45, 0.4, 0.8]) + np.array([0, 0, 4.0])
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.35) * 0.12
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    colors = rng.uniform(0.0, 1.0, size=(n, 3))
+    opac = rng.uniform(0.3, 0.95, size=(n,))
+    kw = {}
+    if vel:
+        kw = dict(lin_vel=jnp.array([0.5, -0.3, 0.2]), ang_vel=jnp.array([0.1, 0.15, -0.1]))
+    proj = projection.project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.eye(3), jnp.zeros(3), fx, fy, cx, cy, img_w, img_h, **kw
+    )
+    return proj, jnp.asarray(colors), jnp.asarray(opac), img_w, img_h
+
+
+@pytest.mark.parametrize("max_per_tile,rs", [(128, 0.0), (256, 0.04)])
+def test_pallas_forward_matches_jnp(max_per_tile, rs):
+    proj, colors, opac, w, h = make_scene(seed=1)
+    bg = jnp.array([0.3, 0.1, 0.2])
+    kw = dict(tile_size=8, max_per_tile=max_per_tile, max_tiles_per_gaussian=16,
+              rolling_shutter_time=rs)
+    out_j = rasterize.rasterize(proj, colors, opac, w, h, bg, impl="jnp", chunk=16, **kw)
+    out_p = rasterize.rasterize(proj, colors, opac, w, h, bg, impl="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(out_p.rgb), np.asarray(out_j.rgb), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.alpha), np.asarray(out_j.alpha), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_p.depth), np.asarray(out_j.depth), atol=1e-3
+    )
+
+
+def test_pallas_gradients_match_jnp():
+    proj, colors, opac, w, h = make_scene(n=80, seed=2, img_w=24, img_h=16)
+    bg = jnp.array([0.5, 0.5, 0.5])
+    tgt = jnp.zeros((h, w, 3))
+    kw = dict(tile_size=8, max_per_tile=128, max_tiles_per_gaussian=16)
+
+    def loss(impl, colors, opac, means2d, conics, pix_vels):
+        p = proj._replace(means2d=means2d, conics=conics, pix_vels=pix_vels)
+        out = rasterize.rasterize(
+            p, colors, opac, w, h, bg, impl=impl, chunk=16,
+            rolling_shutter_time=0.05, **kw
+        )
+        return jnp.mean((out.rgb - tgt) ** 2) + 0.1 * jnp.mean(out.alpha) + 0.05 * jnp.mean(out.depth * out.alpha)
+
+    args = (colors, opac, proj.means2d, proj.conics, proj.pix_vels)
+    g_j = jax.grad(lambda *a: loss("jnp", *a), argnums=tuple(range(5)))(*args)
+    g_p = jax.grad(lambda *a: loss("pallas", *a), argnums=tuple(range(5)))(*args)
+    names = ["colors", "opac", "means2d", "conics", "pix_vels"]
+    for nm, gj, gp in zip(names, g_j, g_p):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gj), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad mismatch: {nm}",
+        )
+        assert float(jnp.abs(gj).sum()) > 0, f"zero reference grad for {nm}"
+
+
+def test_pallas_empty_and_overflow_tiles():
+    # tiles with zero gaussians and tiles hitting the capacity cap both work
+    n = 200
+    rng = np.random.default_rng(3)
+    means = np.concatenate(
+        [np.zeros((n - 1, 3)) + [0, 0, 3.0], [[5.0, 5.0, 4.0]]]
+    )  # all stacked on one tile + one far away
+    proj = projection.project_gaussians(
+        jnp.asarray(means, jnp.float32),
+        jnp.full((n, 3), 0.05),
+        jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1)),
+        jnp.eye(3), jnp.zeros(3), 30.0, 30.0, 16.0, 12.0, 32, 24,
+    )
+    colors = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    opac = jnp.full((n,), 0.4)
+    bg = jnp.zeros(3)
+    kw = dict(tile_size=8, max_per_tile=128, max_tiles_per_gaussian=16)
+    out_j = rasterize.rasterize(proj, colors, opac, 32, 24, bg, impl="jnp", chunk=16, **kw)
+    out_p = rasterize.rasterize(proj, colors, opac, 32, 24, bg, impl="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(out_p.rgb), np.asarray(out_j.rgb), atol=1e-4)
