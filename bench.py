@@ -35,7 +35,7 @@ BASELINE_MRAYS = 200.0
 N_GAUSS = 100_000
 RES = 1024
 TILE = 16
-MAX_PER_TILE = 512
+MAX_PER_TILE = 256
 ITERS = 8
 
 
@@ -43,7 +43,7 @@ def make_scene(n, img_w, img_h, seed=0):
     rng = np.random.default_rng(seed)
     fx = fy = img_w * 0.9
     means = rng.normal(size=(n, 3)) * np.array([0.7, 0.6, 1.2]) + np.array([0, 0, 4.0])
-    scales = np.exp(rng.normal(size=(n, 3)) * 0.4) * (2.2 / np.sqrt(n) * 8)
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.6) * 0.010
     quats = rng.normal(size=(n, 4))
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
     colors = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
@@ -70,7 +70,7 @@ def main():
             out = rasterize.rasterize(
                 proj, colors, opac, RES, RES, jnp.zeros(3),
                 rolling_shutter_time=0.03, tile_size=TILE,
-                max_per_tile=MAX_PER_TILE, max_tiles_per_gaussian=64,
+                max_per_tile=MAX_PER_TILE, max_tiles_per_gaussian=16,
                 impl="pallas",
             )
             return jnp.mean(out.rgb ** 2) + jnp.mean(out.alpha)

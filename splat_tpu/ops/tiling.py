@@ -160,10 +160,15 @@ def build_tile_lists(
     counts_full = ends - starts
     counts = jnp.minimum(counts_full, max_per_tile)
 
-    # Dense gather of the first max_per_tile (closest) entries per tile.
+    # Dense gather of the first max_per_tile (closest) entries per tile. The
+    # per-tile ranges are CONTIGUOUS in the sorted array, so this is a batch of
+    # T dynamic slices (one ~KB row each), not T*K random element gathers —
+    # ~250x fewer gather rows (TPU gather cost is per-row, ~7 ns/row).
     j = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-    gather_pos = jnp.minimum(starts[:, None] + j, sorted_ids.shape[0] - 1)
-    idx = jnp.take(sorted_ids, gather_pos, axis=0)
+    ids_padded = jnp.pad(sorted_ids, (0, max_per_tile))
+    idx = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ids_padded, (s,), (max_per_tile,))
+    )(starts)
     idx = jnp.where(j < counts[:, None], idx, -1)
 
     return TileLists(
