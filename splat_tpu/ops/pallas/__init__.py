@@ -26,27 +26,28 @@ from .rasterize_kernels import (
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _composite_packed(params_packed, counts, rs_time, tile_size, tiles_x, img_h):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _composite_packed(params_packed, counts, rs_time, row_offset, tile_size, tiles_x, img_h):
     return rasterize_fwd_packed(
-        params_packed, counts, rs_time, tile_size, tiles_x, img_h
+        params_packed, counts, rs_time, tile_size, tiles_x, img_h, row_offset
     )
 
 
-def _composite_fwd(params_packed, counts, rs_time, tile_size, tiles_x, img_h):
+def _composite_fwd(params_packed, counts, rs_time, row_offset, tile_size, tiles_x, img_h):
     out = rasterize_fwd_packed(
-        params_packed, counts, rs_time, tile_size, tiles_x, img_h
+        params_packed, counts, rs_time, tile_size, tiles_x, img_h, row_offset
     )
-    return out, (params_packed, counts, rs_time, out)
+    return out, (params_packed, counts, rs_time, row_offset, out)
 
 
 def _composite_bwd(tile_size, tiles_x, img_h, res, g_out):
-    params_packed, counts, rs_time, fwd_out = res
+    params_packed, counts, rs_time, row_offset, fwd_out = res
     d_params = rasterize_bwd_packed(
-        params_packed, counts, rs_time, fwd_out, g_out, tile_size, tiles_x, img_h
+        params_packed, counts, rs_time, fwd_out, g_out, tile_size, tiles_x, img_h,
+        row_offset,
     )
     d_counts = np.zeros(counts.shape, jax.dtypes.float0)  # int arg: float0 zero
-    return d_params, d_counts, jnp.zeros_like(rs_time)
+    return d_params, d_counts, jnp.zeros_like(rs_time), jnp.zeros_like(row_offset)
 
 
 _composite_packed.defvjp(_composite_fwd, _composite_bwd)
@@ -85,6 +86,8 @@ def rasterize_tiles_pallas(
     img_h: int,
     tile_size: int,
     rs_time: jax.Array,
+    rs_full_height: int | None = None,
+    rs_row_offset: jax.Array | int = 0,
 ):
     tw, th = tiling.num_tiles(img_w, img_h, tile_size)
     n = proj.means2d.shape[0]
@@ -97,7 +100,9 @@ def rasterize_tiles_pallas(
     gathered = jnp.take(table, idx, axis=0)                # (T, K, 16)
     packed = jnp.transpose(gathered, (0, 2, 1))            # (T, 16, K), fused
     out = _composite_packed(
-        packed, lists.counts, jnp.asarray(rs_time, jnp.float32), tile_size, tw, img_h
+        packed, lists.counts, jnp.asarray(rs_time, jnp.float32),
+        jnp.asarray(rs_row_offset, jnp.float32),
+        tile_size, tw, rs_full_height or img_h,
     )  # (T, 8, npix)
     n_tiles = out.shape[0]
     s = tile_size

@@ -46,13 +46,17 @@ NPARAM = 16
 NOUT = 8
 
 
-def _pixel_coords(tile_size: int, tx, ty, img_h: int, rs_time, dtype=jnp.float32):
-    """(npix, 1) pixel-center coords and per-pixel residual readout time."""
+def _pixel_coords(tile_size: int, tx, ty, img_h: int, rs_time, row_offset, dtype=jnp.float32):
+    """(npix, 1) pixel-center coords and per-pixel residual readout time.
+
+    px/py are local to the rendered region (match means2d); the rolling-shutter
+    scanline time uses the GLOBAL row (py + row_offset over the full height) so
+    row-strip-sharded rendering stays exact."""
     npix = tile_size * tile_size
     p = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
     px = (tx + p % tile_size).astype(dtype) + 0.5
     py = (ty + p // tile_size).astype(dtype) + 0.5
-    t_row = rs_time * (py / img_h - 0.5)
+    t_row = rs_time * ((py + row_offset) / img_h - 0.5)
     return px, py, t_row
 
 
@@ -95,10 +99,11 @@ def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tile
     t = pl.program_id(0)
     count = counts_ref[t]
     rs_time = scalars_ref[0]
+    row_offset = scalars_ref[1]
     npix = tile_size * tile_size
     tx = (t % tiles_x) * tile_size
     ty = (t // tiles_x) * tile_size
-    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time)
+    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset)
     k_max = params_ref.shape[2]
     n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, k_max // CHUNK)
 
@@ -146,10 +151,11 @@ def _bwd_kernel(
     t = pl.program_id(0)
     count = counts_ref[t]
     rs_time = scalars_ref[0]
+    row_offset = scalars_ref[1]
     npix = tile_size * tile_size
     tx = (t % tiles_x) * tile_size
     ty = (t // tiles_x) * tile_size
-    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time)
+    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset)
     k_max = params_ref.shape[2]
     n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, k_max // CHUNK)
 
@@ -262,7 +268,8 @@ def rasterize_fwd_packed(
     rs_time: jax.Array,         # scalar
     tile_size: int,
     tiles_x: int,
-    img_h: int,
+    img_h: int,                 # FULL image height (rolling-shutter norm)
+    row_offset: jax.Array | float = 0.0,
 ) -> jax.Array:                 # (T, 8, npix)
     n_tiles, _, k = params_packed.shape
     npix = tile_size * tile_size
@@ -288,7 +295,7 @@ def rasterize_fwd_packed(
             bytes_accessed=int(params_packed.size * 4 + n_tiles * NOUT * npix * 4),
             transcendentals=int(n_tiles * k * npix * 2),
         ),
-    )(counts, jnp.asarray([rs_time], jnp.float32).reshape(1), params_packed)
+    )(counts, jnp.stack([jnp.asarray(rs_time, jnp.float32), jnp.asarray(row_offset, jnp.float32)]), params_packed)
 
 
 @functools.partial(
@@ -303,6 +310,7 @@ def rasterize_bwd_packed(
     tile_size: int,
     tiles_x: int,
     img_h: int,
+    row_offset: jax.Array | float = 0.0,
 ) -> jax.Array:                 # (T, 16, K)
     n_tiles, _, k = params_packed.shape
     npix = tile_size * tile_size
@@ -329,4 +337,4 @@ def rasterize_bwd_packed(
             bytes_accessed=int(2 * params_packed.size * 4 + 2 * n_tiles * NOUT * npix * 4),
             transcendentals=int(n_tiles * k * npix * 2),
         ),
-    )(counts, jnp.asarray([rs_time], jnp.float32).reshape(1), params_packed, fwd_out, g_out)
+    )(counts, jnp.stack([jnp.asarray(rs_time, jnp.float32), jnp.asarray(row_offset, jnp.float32)]), params_packed, fwd_out, g_out)

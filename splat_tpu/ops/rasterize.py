@@ -72,8 +72,13 @@ def _composite_one_tile(
     img_h: int,
     rs_time: jax.Array,
     chunk: int,
+    row_offset: jax.Array | int = 0,
 ):
     """Composite a single tile; g fields are (K, ...) for this tile.
+
+    row_offset: global row of this image region's first row (nonzero when the
+    image is row-strip sharded across devices — rolling shutter needs GLOBAL
+    scanline times while means2d stay strip-local). img_h is the FULL height.
 
     Returns (rgb (S,S,3), depth_acc (S,S), T (S,S)).
     """
@@ -83,7 +88,7 @@ def _composite_one_tile(
 
     px = origin_x + (jnp.arange(tile_size, dtype=dtype) + 0.5)[None, :]  # (1,S)
     py = origin_y + (jnp.arange(tile_size, dtype=dtype) + 0.5)[:, None]  # (S,1)
-    t_row = rs_time * (py / img_h - 0.5)  # (S,1)
+    t_row = rs_time * ((py + row_offset) / img_h - 0.5)  # (S,1) global scanline
 
     j = jnp.arange(k_total, dtype=jnp.int32)
     in_count = j < g.counts
@@ -136,6 +141,8 @@ def composite_tiles_jnp(
     tile_size: int,
     rs_time: jax.Array,
     chunk: int = 32,
+    rs_full_height: int | None = None,
+    rs_row_offset: jax.Array | int = 0,
 ):
     """vmapped per-tile compositing. Returns per-tile (rgb, depth_acc, T)."""
     tw, th = tiling.num_tiles(img_w, img_h, tile_size)
@@ -144,7 +151,11 @@ def composite_tiles_jnp(
     return jax.vmap(
         functools.partial(
             _composite_one_tile,
-            tile_size=tile_size, img_h=img_h, rs_time=rs_time, chunk=chunk,
+            tile_size=tile_size,
+            img_h=rs_full_height or img_h,
+            rs_time=rs_time,
+            chunk=chunk,
+            row_offset=rs_row_offset,
         )
     )(g, tx, ty)
 
@@ -162,7 +173,7 @@ def assemble_image(tiles: jax.Array, img_w: int, img_h: int, tile_size: int) -> 
     jax.jit,
     static_argnames=(
         "img_w", "img_h", "tile_size", "max_per_tile", "max_tiles_per_gaussian",
-        "chunk", "impl",
+        "chunk", "impl", "rs_full_height",
     ),
 )
 def rasterize(
@@ -178,8 +189,15 @@ def rasterize(
     max_tiles_per_gaussian: int = 64,
     chunk: int = 32,
     impl: str = "jnp",
+    rs_full_height: int | None = None,
+    rs_row_offset: jax.Array | int = 0,
 ) -> RenderOutput:
-    """Full tile rasterization of one (sub-)frame from projected Gaussians."""
+    """Full tile rasterization of one (sub-)frame from projected Gaussians.
+
+    rs_full_height / rs_row_offset: set when rendering a row strip of a larger
+    image (spatial sharding): means2d are strip-local but rolling-shutter
+    scanline times are computed against the FULL image height.
+    """
     rs = jnp.asarray(rolling_shutter_time, dtype=colors.dtype)
     # Rolling-shutter screen motion: pad the binning radius by the max |shift|.
     radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * jnp.abs(rs) * 0.5
@@ -192,12 +210,16 @@ def rasterize(
 
     if impl == "jnp":
         g = gather_tile_params(lists, proj, colors, opacities)
-        rgb_t, dep_t, T_t = composite_tiles_jnp(g, img_w, img_h, tile_size, rs, chunk)
+        rgb_t, dep_t, T_t = composite_tiles_jnp(
+            g, img_w, img_h, tile_size, rs, chunk,
+            rs_full_height=rs_full_height, rs_row_offset=rs_row_offset,
+        )
     elif impl == "pallas":
         from .pallas import rasterize_tiles_pallas
 
         rgb_t, dep_t, T_t = rasterize_tiles_pallas(
-            lists, proj, colors, opacities, img_w, img_h, tile_size, rs
+            lists, proj, colors, opacities, img_w, img_h, tile_size, rs,
+            rs_full_height=rs_full_height, rs_row_offset=rs_row_offset,
         )
     else:
         raise ValueError(f"unknown rasterize impl: {impl}")

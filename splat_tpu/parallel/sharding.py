@@ -1,0 +1,212 @@
+"""Multi-chip sharding of the render / train step.
+
+The reference is strictly single-GPU (SURVEY.md §2d); distribution here is a
+new first-class layer designed for TPU meshes (BASELINE.json north star):
+
+  mesh axes:
+    'blur' — the blur-sample axis: the S sub-frame renders of one exposure are
+             independent until the final average (embarrassingly parallel);
+    'tile' — spatial axis: the image is sharded into row strips; each device
+             bins and composites only its own strip's tiles (the multi-chip
+             analogue of the CUDA tile grid).
+
+  Gaussian parameters are REPLICATED (scenes fit one chip's HBM; per-tile
+  gather keeps arithmetic local); their gradients are all-reduced by the psum
+  that jax.shard_map's autodiff inserts for replicated inputs — overlapped
+  with the backward pass by XLA. Velocity/pose params likewise replicated.
+
+Semantics notes:
+  * rolling shutter uses GLOBAL scanline times (rs_row_offset plumbing in
+    ops.rasterize), so strip-sharded rendering is bit-consistent with
+    single-device rendering;
+  * SSIM is computed per strip (valid 11x11 windows only): windows straddling
+    strip boundaries are dropped from the mean — a documented approximation of
+    the single-device loss, vanishing as strip height >> 11.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..cameras import optimizers as cam_opt
+from ..cameras.cameras import Cameras
+from ..models import splatfacto as sf
+from ..ops import projection, rasterize, se3
+from ..ops.ssim import ssim as ssim_fn
+
+
+def make_mesh(n_blur: int, n_tile: int, devices=None) -> Mesh:
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_blur * n_tile, (
+        f"need {n_blur * n_tile} devices, have {len(devices)}"
+    )
+    devs = np.asarray(devices[: n_blur * n_tile]).reshape(n_blur, n_tile)
+    return Mesh(devs, ("blur", "tile"))
+
+
+def _render_strip_linear(
+    params: sf.ModelParams,
+    camera: Cameras,
+    config: sf.SplatfactoConfig,
+    sh_degree_active,
+    background: jax.Array,
+    strip_h: int,
+    row0,
+    eps_local: jax.Array,
+    means2d_probe: jax.Array | None = None,
+):
+    """Linear-space rgb sum over the local blur sub-frames for one row strip.
+
+    Returns (rgb_sum (strip_h, W, 3), n_local_samples). Mirrors
+    sf.render_camera's math with strip-local intrinsics.
+    """
+    g = params.gaussians
+    camera = cam_opt.apply_camera_opt(camera, params.camera_opt, config.camera_optimizer)
+    camera = cam_opt.apply_velocity_opt(
+        camera, params.velocity_opt, config.camera_velocity_optimizer
+    )
+
+    scales = jnp.exp(g.scales_log)
+    opac = jax.nn.sigmoid(g.opacities_logit) * jax.lax.stop_gradient(g.alive)
+    coeffs = jnp.concatenate([g.features_dc[:, None, :], g.features_rest], axis=1)
+
+    R0, p0 = camera.R_c2w[0], camera.p_c2w[0]
+    v, om = camera.lin_vel[0], camera.ang_vel[0]
+    rs_time = jnp.where(
+        config.rolling_shutter_compensation, camera.rolling_shutter_time[0], 0.0
+    )
+    fx, fy = camera.fx[0], camera.fy[0]
+    cx = camera.cx[0]
+    cy_local = camera.cy[0] - row0          # strip-local principal point
+    w, full_h = camera.width, camera.height
+
+    def render_subframe(t_s):
+        Rt, pt = se3.se3_advance_c2w(R0, p0, v, om, t_s)
+        R_cw = Rt.T
+        t_cw = -jnp.matmul(R_cw, pt, precision=jax.lax.Precision.HIGHEST)
+        proj = projection.project_gaussians(
+            g.means, scales, g.quats, R_cw, t_cw, fx, fy, cx, cy_local,
+            w, strip_h, lin_vel=v, ang_vel=om,
+        )
+        if means2d_probe is not None:
+            proj = proj._replace(means2d=proj.means2d + means2d_probe)
+        if config.rasterize_mode == "classic":
+            proj = proj._replace(compensations=jnp.ones_like(proj.compensations))
+        dirs = g.means - pt
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+        colors = sf.sh_eval_switch(sh_degree_active, config.sh_degree, dirs, coeffs)
+        out = rasterize.rasterize(
+            proj, colors, opac, w, strip_h, background,
+            rolling_shutter_time=rs_time,
+            tile_size=config.tile_size,
+            max_per_tile=config.max_per_tile,
+            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+            chunk=config.chunk,
+            impl=config.impl,
+            rs_full_height=full_h,
+            rs_row_offset=row0,
+        )
+        return out.rgb
+
+    rgbs = jax.vmap(render_subframe)(eps_local)   # (S_local, strip_h, W, 3)
+    return rgbs.sum(axis=0), eps_local.shape[0]
+
+
+def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool = False):
+    """Build loss(params, camera, gt) sharded over the ('blur','tile') mesh.
+
+    gt arrives row-sharded over 'tile'; params/camera replicated. Returns a
+    replicated scalar; jax.grad through it all-reduces parameter gradients.
+    """
+    n_blur = mesh.shape["blur"]
+    n_tile = mesh.shape["tile"]
+    s_total = max(config.blur_samples, 1)
+    assert s_total % n_blur == 0, (
+        f"blur_samples={s_total} must divide mesh blur axis {n_blur}"
+    )
+    s_local = s_total // n_blur
+
+    def local_loss(params, camera, gt_strip, probe):
+        full_h = camera.height
+        assert full_h % n_tile == 0, "image height must divide tile axis"
+        strip_h = full_h // n_tile
+        assert strip_h % config.tile_size == 0, (
+            "strip height must be a multiple of tile_size"
+        )
+        row0 = jax.lax.axis_index("tile") * strip_h
+        blur_idx = jax.lax.axis_index("blur")
+
+        exposure = camera.exposure_time[0]
+        if config.blur_samples > 0:
+            eps_all = sf.blur_sample_times(exposure, config)
+        else:
+            eps_all = jnp.zeros((1,))
+        eps_local = jax.lax.dynamic_slice(eps_all, (blur_idx * s_local,), (s_local,))
+
+        bg = sf.background_color(params, config)
+        sh_deg = config.sh_degree  # static max; schedule masking via probe path
+        rgb_sum, _ = _render_strip_linear(
+            params, camera, config, sh_deg, bg, strip_h, row0, eps_local,
+            means2d_probe=probe if with_probe else None,
+        )
+        # mean over ALL sub-frames: psum over the blur axis
+        rgb_mean = jax.lax.psum(rgb_sum, "blur") / s_total
+        pred = sf.gamma_encode(rgb_mean, config)
+        pred = sf.apply_black_level(pred, config)
+        gt = sf.apply_black_level(gt_strip, config)
+
+        l1 = jnp.abs(pred - gt).mean()
+        ssim_v = ssim_fn(pred, gt)
+        strip_loss = (1 - config.ssim_lambda) * l1 + config.ssim_lambda * (1 - ssim_v)
+        loss = jax.lax.psum(strip_loss, "tile") / n_tile
+        # blur axis already reduced into rgb_mean; average the identical
+        # replicas so the value stays replicated for out_specs=P()
+        loss = jax.lax.pmean(loss, "blur")
+
+        if config.use_scale_regularization:
+            g = params.gaussians
+            s = jnp.exp(g.scales_log)
+            ratio = s.max(axis=-1) / jnp.maximum(s.min(axis=-1), 1e-12)
+            excess = jnp.maximum(ratio, config.max_gauss_ratio) - config.max_gauss_ratio
+            alive = jax.lax.stop_gradient(g.alive)
+            loss = loss + config.scale_reg_weight * (
+                (excess * alive).sum() / jnp.maximum(alive.sum(), 1.0)
+            )
+        loss = loss + cam_opt.camera_opt_penalty(params.camera_opt, config.camera_optimizer)
+        return loss
+
+    return jax.shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(P(), P(), P("tile", None, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+def make_sharded_train_step(
+    config: sf.SplatfactoConfig, mesh: Mesh, optimizer
+):
+    """Jitted multi-chip train step: sharded render+loss, replicated update."""
+    loss_fn = make_sharded_loss(config, mesh, with_probe=True)
+
+    @jax.jit
+    def train_step(params, opt_state, camera, gt, step):
+        import optax
+
+        probe = jnp.zeros_like(params.gaussians.means[:, :2])
+        loss_val, (g_params, g_probe) = jax.value_and_grad(
+            lambda p, pr: loss_fn(p, camera, gt, pr), argnums=(0, 1)
+        )(params, probe)
+        updates, opt_state = optimizer.update(g_params, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_val, g_probe
+
+    return train_step
