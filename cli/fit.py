@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Single training run — the `ns-train splatfacto` equivalent (SURVEY.md §2b).
+
+Usage (mirrors the reference command contract, train.py:114-193):
+  python cli/fit.py splatfacto --data <scene_dir> --output-dir data/outputs \
+      --experiment-name synthetic-mb/cozyroom \
+      --max-num-iterations 20000 \
+      --pipeline.model.blur-samples 10 \
+      --pipeline.model.camera-optimizer.mode SO3xR3 \
+      --pipeline.model.camera-velocity-optimizer.enabled True \
+      nerfstudio-data --eval-mode interval --eval-interval 8
+
+Writes the reference's output-directory contract (SURVEY.md §5):
+  OUTPUT_DIR/EXPERIMENT/splatfacto/TIMESTAMP/{config.json,
+  dataparser_transforms.json, checkpoints/, metrics_train.jsonl}
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    from splat_tpu.utils.env import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
+    from splat_tpu.data import dataparser as dp
+    from splat_tpu.engine import config as cfg_mod
+    from splat_tpu.engine import trainer as tr
+
+    cfg = cfg_mod.parse_cli(argv)
+    if not cfg.data:
+        raise SystemExit("--data is required")
+
+    run_dir = cfg.run_dir()
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cfg_mod.save_config(cfg, run_dir / "config.json")
+
+    scene = dp.parse_scene(cfg.data, cfg.dataparser)
+    dp.save_dataparser_transforms(run_dir / "dataparser_transforms.json", scene)
+
+    tc = cfg.trainer
+    import dataclasses
+
+    tc = dataclasses.replace(tc, max_steps=cfg.max_num_iterations, seed=cfg.seed)
+    trainer = tr.Trainer(scene, cfg.model, tc, output_dir=run_dir)
+
+    log_path = run_dir / "metrics_train.jsonl"
+    t0 = time.time()
+
+    def cb(rec):
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(
+            f"step {rec['step']:6d}  loss {rec['loss']:.4f}  "
+            f"alive {rec['n_alive']}  {rec['wall_s']:.0f}s",
+            flush=True,
+        )
+
+    steps_done = 0
+    while steps_done < cfg.max_num_iterations:
+        chunk = min(cfg.steps_per_save, cfg.max_num_iterations - steps_done)
+        trainer.run(chunk, progress_cb=cb)
+        steps_done += chunk
+        trainer.save_checkpoint(run_dir / "checkpoints" / f"step_{trainer.step}")
+
+    wall = time.time() - t0
+    metrics = trainer.evaluate()
+    out = {
+        "experiment_name": cfg.experiment_name,
+        "method_name": cfg.method_name,
+        "checkpoint": str(run_dir / "checkpoints" / f"step_{trainer.step}"),
+        "results": metrics,
+        "wall_clock_time_seconds": wall,
+    }
+    (run_dir / "metrics.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out["results"]))
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""CLI layer tests: config parsing, fit end-to-end, variant matrix, outputs."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "cli"))
+
+from splat_tpu.engine import config as cfg_mod
+
+
+def test_parse_cli_reference_flags():
+    cfg = cfg_mod.parse_cli([
+        "splatfacto",
+        "--data", "/tmp/scene",
+        "--max-num-iterations", "5000",
+        "--pipeline.model.blur-samples", "10",
+        "--pipeline.model.rolling-shutter-compensation", "False",
+        "--pipeline.model.gamma", "2.2",
+        "--pipeline.model.min-rgb-level", "10",
+        "--pipeline.model.camera-optimizer.mode", "SO3xR3",
+        "--pipeline.model.camera-velocity-optimizer.enabled", "True",
+        "--pipeline.model.camera-velocity-optimizer.zero-initial-velocities", "True",
+        "--pipeline.model.optimize-eval-cameras", "True",
+        "--pipeline.model.cull-scale-thresh", "2.0",
+        "--pipeline.model.background-color", "auto",
+        "nerfstudio-data",
+        "--eval-mode", "filename",
+        "--orientation-method", "none",
+    ])
+    assert cfg.data == "/tmp/scene"
+    assert cfg.max_num_iterations == 5000
+    m = cfg.model
+    assert m.blur_samples == 10
+    assert m.rolling_shutter_compensation is False
+    assert m.gamma == 2.2
+    assert m.min_rgb_level == 10
+    assert m.camera_optimizer.mode == "SO3xR3"
+    assert m.camera_velocity_optimizer.enabled is True
+    assert m.camera_velocity_optimizer.zero_initial_velocities is True
+    assert m.optimize_eval_cameras is True
+    assert m.cull_scale_thresh == 2.0
+    assert cfg.dataparser.eval_mode == "filename"
+    assert cfg.dataparser.orientation_method == "none"
+
+
+def test_parse_cli_unknown_flag_raises():
+    with pytest.raises((ValueError, AttributeError)):
+        cfg_mod.parse_cli(["--pipeline.model.nonexistent-flag", "1"])
+
+
+def test_config_save_load_roundtrip(tmp_path):
+    cfg = cfg_mod.parse_cli([
+        "--data", "x", "--pipeline.model.blur-samples", "7",
+        "--pipeline.model.camera-optimizer.mode", "SO3xR3",
+    ])
+    cfg_mod.save_config(cfg, tmp_path / "config.json")
+    cfg2 = cfg_mod.load_config(tmp_path / "config.json")
+    assert cfg2.model.blur_samples == 7
+    assert cfg2.model.camera_optimizer.mode == "SO3xR3"
+    assert cfg2.data == "x"
+
+
+def test_variant_matrix_counts():
+    import train as train_cli
+
+    # synthetic-mb: 4 base variants, MB ones get velocity variants -> 8
+    v = train_cli.variants_for_dataset("synthetic-mb")
+    names = sorted(
+        train_cli.flags_to_variant_name_and_cmd(f, "synthetic-mb", False)[0] for f in v
+    )
+    assert len(v) == 8
+    assert "baseline" in names
+    assert "motion_blur-velocity_opt-zero_init" in names
+    # real smartphone dataset: 20 variants (SURVEY.md Appendix A)
+    v2 = train_cli.variants_for_dataset("colmap-sai-cli-vels-blur-scored")
+    assert len(v2) == 20
+
+
+def test_variant_flag_semantics():
+    import train as train_cli
+
+    name, cmd = train_cli.flags_to_variant_name_and_cmd(
+        {"motion_blur", "velocity_opt"}, "synthetic-mb", train_all=False
+    )
+    assert name == "motion_blur-velocity_opt"
+    s = " ".join(cmd)
+    assert "--pipeline.model.blur-samples 10" in s     # synthetic pack
+    assert "--pipeline.model.gamma 2.2" in s           # gamma iff MB
+    assert "--pipeline.model.optimize-eval-cameras True" in s
+    # RS-only variant: blur-samples 0, gamma 1
+    name2, cmd2 = train_cli.flags_to_variant_name_and_cmd(
+        {"rolling_shutter"}, "colmap-sai-cli-vels", train_all=False
+    )
+    s2 = " ".join(cmd2)
+    assert name2 == "rolling_shutter"
+    assert "--pipeline.model.blur-samples 0" in s2
+    assert "--pipeline.model.gamma 1.0" in s2
+
+
+@pytest.fixture(scope="module")
+def fit_run(tmp_path_factory):
+    """End-to-end: generate scene, run cli/fit.py as a subprocess."""
+    from splat_tpu.data import synthetic
+
+    root = tmp_path_factory.mktemp("cli_e2e")
+    scene_dir = root / "scene"
+    synthetic.generate_scene(scene_dir, n_gaussians=50, n_frames=9, img_size=32,
+                             exposure=0.05, n_blur_samples=3, seed=5)
+    out_dir = root / "outputs"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [
+        sys.executable, str(REPO / "cli" / "fit.py"), "splatfacto",
+        "--data", str(scene_dir),
+        "--output-dir", str(out_dir),
+        "--experiment-name", "testds/baseline/scene",
+        "--max-num-iterations", "40",
+        "--steps-per-save", "40",
+        "--pipeline.model.blur-samples", "2",
+        "--pipeline.model.sh-degree", "1",
+        "--pipeline.model.tile-size", "8",
+        "--pipeline.model.max-per-tile", "64",
+        "--pipeline.model.max-tiles-per-gaussian", "16",
+        "--pipeline.model.chunk", "8",
+        "--pipeline.model.warmup-length", "1000",
+        "nerfstudio-data", "--eval-mode", "interval", "--eval-interval", "8",
+        "--orientation-method", "none",
+    ]
+    subprocess.check_call(cmd, cwd=REPO)
+    return out_dir
+
+
+def test_fit_output_contract(fit_run):
+    run_root = fit_run / "testds" / "baseline" / "scene" / "splatfacto"
+    runs = list(run_root.iterdir())
+    assert len(runs) == 1
+    run_dir = runs[0]
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "dataparser_transforms.json").exists()
+    assert (run_dir / "metrics.json").exists()
+    m = json.loads((run_dir / "metrics.json").read_text())
+    assert "psnr" in m["results"] and np.isfinite(m["results"]["psnr"])
+    assert len(list((run_dir / "checkpoints").glob("step_*"))) >= 1
+
+
+def test_parse_outputs_table(fit_run):
+    import parse_outputs
+
+    rows = parse_outputs.find_and_parse_directories_containing_splatting_metrics(fit_run)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["dataset"] == "testds" and r["variant"] == "baseline" and r["session"] == "scene"
+    assert np.isfinite(r["psnr"])
+
+
+def test_render_model_outputs(fit_run):
+    run_root = fit_run / "testds" / "baseline" / "scene" / "splatfacto"
+    config_path = next(run_root.iterdir()) / "config.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.check_call(
+        [sys.executable, str(REPO / "cli" / "render_model.py"),
+         "--load-config", str(config_path)],
+        cwd=REPO, env=env,
+    )
+    renders = config_path.parent / "renders" / "eval"
+    preds = list(renders.glob("*_pred.png"))
+    assert len(preds) == 2  # frames 0 and 8 are eval
+    assert (renders / "00000_gt.png").exists()
+    assert (renders / "00000_depth.npy").exists()
+    assert (renders / "00000_depth.png").exists()
+
+
+def test_train_driver_dry_run(tmp_path):
+    from splat_tpu.data import synthetic
+    import train as train_cli
+
+    inp = tmp_path / "inputs" / "synthetic-mb"
+    synthetic.generate_scene(inp / "cozyroom", n_gaussians=10, n_frames=2,
+                             img_size=16, exposure=0.0, n_blur_samples=1)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "cli" / "train.py"),
+         "--dataset", "synthetic-mb",
+         "--input-dir", str(tmp_path / "inputs"),
+         "--dry_run", "--draft"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    )
+    lines = [l for l in out.stdout.splitlines() if "fit.py" in l]
+    assert len(lines) == 8  # 8 synthetic-mb variants
+    assert any("--pipeline.model.blur-samples 10" in l for l in lines)
+    assert all("--max-num-iterations 3000" in l for l in lines)  # draft
