@@ -34,8 +34,8 @@ BASELINE_MRAYS = 200.0
 
 N_GAUSS = 100_000
 RES = 1024
-TILE = 16
-MAX_PER_TILE = 256
+TILE = 32
+MAX_PER_TILE = 512
 ITERS = 8
 
 
@@ -70,7 +70,7 @@ def main():
             out = rasterize.rasterize(
                 proj, colors, opac, RES, RES, jnp.zeros(3),
                 rolling_shutter_time=0.03, tile_size=TILE,
-                max_per_tile=MAX_PER_TILE, max_tiles_per_gaussian=16,
+                max_per_tile=MAX_PER_TILE, max_tiles_per_gaussian=8,
                 impl="pallas",
             )
             return jnp.mean(out.rgb ** 2) + jnp.mean(out.alpha)
