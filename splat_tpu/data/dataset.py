@@ -43,14 +43,29 @@ def _undistort(arr: np.ndarray, distortion: dict) -> np.ndarray:
 
 
 class ImageCache:
-    """Caches all images of a split as one (N, H, W, 3) float32 array."""
+    """Caches all images of a split as one (N, H, W, 3) float32 array.
+
+    Uses the native multithreaded PNG decoder (native/imgcache.cpp) when the
+    images are undistorted PNGs it supports; otherwise the PIL path.
+    """
 
     def __init__(self, paths: list[str], downscale: int = 1, distortion: dict | None = None):
-        imgs = [_load_image(p, downscale, distortion) for p in paths]
-        shapes = {im.shape for im in imgs}
-        if len(shapes) > 1:
-            raise ValueError(f"inconsistent image shapes in split: {shapes}")
-        self.images = np.stack(imgs) if imgs else np.zeros((0, 0, 0, 3), np.float32)
+        native = None
+        needs_undistort = bool(distortion) and any(
+            abs(distortion.get(k, 0.0) or 0.0) > 1e-12 for k in ("k1", "k2", "p1", "p2", "k3")
+        )
+        if paths and not needs_undistort and all(str(p).endswith(".png") for p in paths):
+            from . import native_loader
+
+            native = native_loader.load_images(paths, downscale)
+        if native is not None:
+            self.images = native
+        else:
+            imgs = [_load_image(p, downscale, distortion) for p in paths]
+            shapes = {im.shape for im in imgs}
+            if len(shapes) > 1:
+                raise ValueError(f"inconsistent image shapes in split: {shapes}")
+            self.images = np.stack(imgs) if imgs else np.zeros((0, 0, 0, 3), np.float32)
         self.paths = paths
 
     def __len__(self):
