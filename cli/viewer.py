@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Interactive scene viewer — the ns-viewer / Viser equivalent (SURVEY.md §2b
+row ns-viewer): loads a trained checkpoint and serves a browser-based orbit
+viewer over HTTP; frames are rendered server-side by the model on demand
+(drag to orbit, wheel to zoom, sliders for exposure / rolling shutter to
+preview the motion-compensation model on novel views).
+
+Usage: python cli/viewer.py --load-config <run>/config.json [--port 7007]
+"""
+import argparse
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>splat_tpu viewer</title><style>
+body { margin:0; background:#111; color:#ddd; font-family:monospace; }
+#hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px; border-radius:6px; }
+img { width:100vw; height:100vh; object-fit:contain; display:block; }
+label { display:block; margin-top:4px; }
+</style></head><body>
+<img id="view" draggable="false">
+<div id="hud">
+  <div>drag: orbit &middot; wheel: zoom</div>
+  <label>exposure <input id="exp" type="range" min="0" max="0.5" step="0.01" value="0"></label>
+  <label>rolling shutter <input id="rs" type="range" min="0" max="0.1" step="0.005" value="0"></label>
+  <div id="stat"></div>
+</div>
+<script>
+let yaw=0.6, pitch=0.4, radius=2.5, drag=null, busy=false, dirty=true;
+const img=document.getElementById('view');
+function refresh(){
+  if(busy){dirty=true;return;}
+  busy=true;dirty=false;
+  const t0=performance.now();
+  const exp=document.getElementById('exp').value, rs=document.getElementById('rs').value;
+  fetch(`/render?yaw=${yaw}&pitch=${pitch}&r=${radius}&exp=${exp}&rs=${rs}`)
+   .then(r=>r.blob()).then(b=>{
+     img.src=URL.createObjectURL(b);
+     document.getElementById('stat').textContent=`${(performance.now()-t0).toFixed(0)} ms`;
+     busy=false; if(dirty) refresh();
+   }).catch(()=>{busy=false;});
+}
+img.addEventListener('mousedown',e=>{drag=[e.clientX,e.clientY];});
+window.addEventListener('mouseup',()=>{drag=null;});
+window.addEventListener('mousemove',e=>{
+  if(!drag) return;
+  yaw += (e.clientX-drag[0])*0.01; pitch += (e.clientY-drag[1])*0.01;
+  pitch=Math.max(-1.4,Math.min(1.4,pitch)); drag=[e.clientX,e.clientY]; refresh();
+});
+window.addEventListener('wheel',e=>{radius*=Math.exp(e.deltaY*0.001);refresh();});
+document.getElementById('exp').addEventListener('input',refresh);
+document.getElementById('rs').addEventListener('input',refresh);
+refresh();
+</script></body></html>"""
+
+
+class ViewerState:
+    def __init__(self, config_path: Path, res: int):
+        from render_model import load_trainer_from_config
+
+        self.cfg, self.trainer = load_trainer_from_config(config_path)
+        self.res = res
+        self.lock = threading.Lock()
+        # orbit target: scene centroid of alive gaussians
+        import jax.numpy as jnp
+
+        g = self.trainer.params.gaussians
+        alive = np.asarray(g.alive) > 0.5
+        self.center = np.asarray(g.means)[alive].mean(axis=0)
+
+    def render(self, yaw, pitch, radius, exposure, rs_time) -> bytes:
+        import dataclasses
+
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from splat_tpu.cameras import paths as pth
+        from splat_tpu.cameras.cameras import Cameras
+        from splat_tpu.models import splatfacto as sf
+
+        pos = self.center + radius * np.array(
+            [np.cos(pitch) * np.cos(yaw), np.cos(pitch) * np.sin(yaw), np.sin(pitch)]
+        )
+        c2w_gl = pth.look_at(pos, self.center)
+        R_cv, p = Cameras.gl_to_cv_c2w(jnp.asarray(c2w_gl[None], jnp.float32))
+        res = self.res
+        fl = res * 1.0
+        # tangential orbit motion for blur/RS preview
+        vel = np.array([1.0, 0.0, 0.0]) * (0.5 if exposure > 0 or rs_time > 0 else 0.0)
+        cam = Cameras(
+            R_cv, p,
+            *(jnp.full((1,), v) for v in (fl, fl, res / 2, res / 2)),
+            res, res,
+            lin_vel=jnp.asarray(vel[None], jnp.float32),
+            ang_vel=jnp.zeros((1, 3)),
+            exposure_time=jnp.full((1,), exposure),
+            rolling_shutter_time=jnp.full((1,), rs_time),
+            cam_idx=jnp.zeros((1,), jnp.int32),
+        )
+        mcfg = dataclasses.replace(
+            self.cfg.model,
+            blur_samples=5 if exposure > 0 else 0,
+            rolling_shutter_compensation=True,
+        )
+        params = self.trainer.params._replace(camera_opt={}, velocity_opt={})
+        with self.lock:
+            bg = sf.background_color(params, mcfg)
+            out = sf.render_camera(
+                params, cam, mcfg, int(sf.active_sh_degree(mcfg, self.trainer.step)), bg
+            )
+            img = np.clip(np.asarray(sf.gamma_encode(out.rgb, mcfg)), 0, 1)
+        buf = io.BytesIO()
+        Image.fromarray((img * 255).astype(np.uint8)).save(buf, "PNG")
+        return buf.getvalue()
+
+
+def make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/render":
+                q = parse_qs(url.query)
+                get = lambda k, d: float(q.get(k, [d])[0])
+                try:
+                    png = state.render(
+                        get("yaw", 0), get("pitch", 0.3), get("r", 2.5),
+                        get("exp", 0), get("rs", 0),
+                    )
+                except Exception as e:  # surface render errors to the client
+                    msg = str(e).encode()
+                    self.send_response(500)
+                    self.send_header("Content-Length", str(len(msg)))
+                    self.end_headers()
+                    self.wfile.write(msg)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--load-config", required=True)
+    ap.add_argument("--port", type=int, default=7007)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--resolution", type=int, default=256)
+    args = ap.parse_args(argv)
+
+    from splat_tpu.utils.env import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
+    state = ViewerState(Path(args.load_config), args.resolution)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(state))
+    print(f"viewer at http://{args.host}:{args.port}/ (ctrl-c to stop)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -233,6 +233,36 @@ class Trainer:
         d["cam_idx"] = jnp.arange(len(cams), dtype=jnp.int32)
         return Cameras(width=aux[0], height=aux[1], **d)
 
+    # ---------------------------------------------- progressive resolution
+    def _resolution_level(self) -> int:
+        cfg = self.model_config
+        if cfg.num_downscales <= 0:
+            return 0
+        return max(0, cfg.num_downscales - self.step // cfg.resolution_schedule)
+
+    def _level_data(self, level: int):
+        """(cameras, images) for resolution level (downscale 2^level), cached."""
+        if level == 0:
+            return self.train_cams, self.train_images.images
+        if not hasattr(self, "_pyramid"):
+            self._pyramid = {}
+        if level not in self._pyramid:
+            d = 1 << level
+            imgs = self.train_images.images
+            h = imgs.shape[1] // d * d
+            w = imgs.shape[2] // d * d
+            small = imgs[:, :h, :w].reshape(
+                imgs.shape[0], h // d, d, w // d, d, 3
+            ).mean(axis=(2, 4))
+            cams = self.train_cams
+            leaves, aux = cams.tree_flatten()
+            dd = dict(zip(Cameras._leaf_names, leaves))
+            for k in ("fx", "fy", "cx", "cy"):
+                dd[k] = dd[k] / d
+            small_cams = Cameras(width=aux[0] // d, height=aux[1] // d, **dd)
+            self._pyramid[level] = (small_cams, small)
+        return self._pyramid[level]
+
     def _maybe_grow(self):
         g = self.params.gaussians
         cap = g.alive.shape[0]
@@ -258,8 +288,10 @@ class Trainer:
                 self.key, k = jax.random.split(self.key)
                 order = np.asarray(jax.random.permutation(k, n_train))
             ci = int(order[i])
-            cam = self.train_cams[ci]
-            gt = jnp.asarray(self.train_images.images[ci])
+            level = self._resolution_level()
+            level_cams, level_imgs = self._level_data(level)
+            cam = level_cams[ci]
+            gt = jnp.asarray(level_imgs[ci])
             self.key, k = jax.random.split(self.key)
             (self.params, self.opt_state, self.strat_state, loss, aux) = self.train_step(
                 self.params, self.opt_state, self.strat_state, cam, gt,

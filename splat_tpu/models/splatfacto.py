@@ -56,6 +56,11 @@ class SplatfactoConfig:
     # --- losses ---
     ssim_lambda: float = 0.2
     scale_reg_weight: float = 0.1
+    # --- progressive resolution (splatfacto num-downscales, Appendix C:
+    # train at 1/2^k resolution, stepping up every resolution_schedule steps;
+    # reference uses 2 for real scenes, 0 for synthetic, train.py:14) ---
+    num_downscales: int = 0
+    resolution_schedule: int = 3000
     # --- densification schedule (Appendix C) ---
     warmup_length: int = 500
     refine_every: int = 100

@@ -88,3 +88,16 @@ def test_refine_during_training_changes_population(fixture_scene):
     t.run(70)
     n1 = int((t.params.gaussians.alive > 0.5).sum())
     assert n1 != n0  # densify/cull actually ran
+
+
+def test_progressive_resolution(fixture_scene):
+    mc = small_model_config(num_downscales=1, resolution_schedule=20)
+    tc = tr.TrainerConfig(max_steps=45, seed=0)
+    t = tr.Trainer(fixture_scene, mc, tc)
+    assert t._resolution_level() == 1
+    cams, imgs = t._level_data(1)
+    assert cams.width == t.train_cams.width // 2
+    assert imgs.shape[1] == t.train_images.images.shape[1] // 2
+    t.run(45)  # crosses the schedule boundary (level 1 -> 0): recompile works
+    assert t._resolution_level() == 0
+    assert np.isfinite(t.evaluate()["psnr"])
