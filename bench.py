@@ -29,6 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from splat_tpu.ops import projection, rasterize
+from splat_tpu.utils.env import enable_compilation_cache
+
+enable_compilation_cache()
 
 BASELINE_MRAYS = 200.0
 

@@ -73,18 +73,23 @@ def main(argv=None):
     )
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    import functools
+
+    import jax
+
     cams = trainer.eval_cams if args.split == "eval" else trainer.train_cams
     images = trainer.eval_images if args.split == "eval" else trainer.train_images
     mcfg = cfg.model
-    bg = sf.background_color(trainer.params, mcfg)
     sh_deg = int(sf.active_sh_degree(mcfg, trainer.step))
+
+    @functools.partial(jax.jit, static_argnames=("is_eval",))
+    def render(params, cam, is_eval):
+        bg = sf.background_color(params, mcfg)
+        return sf.render_camera(params, cam, mcfg, sh_deg, bg, is_eval_camera=is_eval)
 
     for i in range(len(cams)):
         cam = cams[i]
-        out = sf.render_camera(
-            trainer.params, cam, mcfg, sh_deg, bg,
-            is_eval_camera=(args.split == "eval"),
-        )
+        out = render(trainer.params, cam, args.split == "eval")
         pred = np.clip(np.asarray(sf.gamma_encode(out.rgb, mcfg)), 0, 1)
         gt = images.images[i]
         Image.fromarray((pred * 255).astype(np.uint8)).save(out_dir / f"{i:05d}_pred.png")

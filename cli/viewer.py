@@ -70,6 +70,7 @@ class ViewerState:
         self.cfg, self.trainer = load_trainer_from_config(config_path)
         self.res = res
         self.lock = threading.Lock()
+        self._render_cache = {}
         # orbit target: scene centroid of alive gaussians
         import jax.numpy as jnp
 
@@ -113,11 +114,20 @@ class ViewerState:
         )
         params = self.trainer.params._replace(camera_opt={}, velocity_opt={})
         with self.lock:
-            bg = sf.background_color(params, mcfg)
-            out = sf.render_camera(
-                params, cam, mcfg, int(sf.active_sh_degree(mcfg, self.trainer.step)), bg
-            )
-            img = np.clip(np.asarray(sf.gamma_encode(out.rgb, mcfg)), 0, 1)
+            key = (mcfg.blur_samples,)
+            if key not in self._render_cache:
+                import jax
+
+                def _render(params, cam, cfg=mcfg):
+                    bg = sf.background_color(params, cfg)
+                    out = sf.render_camera(
+                        params, cam, cfg,
+                        int(sf.active_sh_degree(cfg, self.trainer.step)), bg,
+                    )
+                    return sf.gamma_encode(out.rgb, cfg)
+
+                self._render_cache[key] = jax.jit(_render)
+            img = np.clip(np.asarray(self._render_cache[key](params, cam)), 0, 1)
         buf = io.BytesIO()
         Image.fromarray((img * 255).astype(np.uint8)).save(buf, "PNG")
         return buf.getvalue()

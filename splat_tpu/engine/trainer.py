@@ -194,6 +194,9 @@ class Trainer:
     output_dir: Path | None = None
 
     def __post_init__(self):
+        from ..utils.env import enable_compilation_cache
+
+        enable_compilation_cache()
         self.train_images, self.eval_images = ds.load_scene_images(self.scene)
         cfg, tc = self.model_config, self.trainer_config
         self.params = sf.init_model(
@@ -225,6 +228,9 @@ class Trainer:
         self.key = jax.random.PRNGKey(tc.seed)
         self.step = 0
         self.history: list[dict] = []
+        from ..utils.profiling import StepTimer
+
+        self.timer = StepTimer()
 
     @staticmethod
     def _localize(cams: Cameras) -> Cameras:
@@ -293,10 +299,13 @@ class Trainer:
             cam = level_cams[ci]
             gt = jnp.asarray(level_imgs[ci])
             self.key, k = jax.random.split(self.key)
+            self.timer.start()
             (self.params, self.opt_state, self.strat_state, loss, aux) = self.train_step(
                 self.params, self.opt_state, self.strat_state, cam, gt,
                 jnp.asarray(self.step), k,
             )
+            jax.block_until_ready(loss)
+            self.timer.stop()
 
             # eval-camera optimization (scene frozen)
             if (
@@ -336,6 +345,7 @@ class Trainer:
                     "loss": float(loss),
                     "n_alive": int(self.params.gaussians.alive.sum()),
                     "wall_s": time.time() - t0,
+                    **self.timer.summary(last_n=tc.log_every),
                 }
                 self.history.append(rec)
                 if progress_cb:
@@ -353,15 +363,28 @@ class Trainer:
         return g
 
     # ------------------------------------------------------------------ eval
+    def _eval_render_jit(self):
+        """Jitted eval render (one trace; sh degree is a traced arg). Without
+        this, op-by-op dispatch on a remote backend makes eval minutes/image."""
+        if getattr(self, "_eval_render_fn", None) is None:
+            cfg = self.model_config
+
+            @jax.jit
+            def render(params, cam, sh_deg):
+                bg = sf.background_color(params, cfg)
+                out = sf.render_camera(
+                    params, cam, cfg, sh_deg, bg, is_eval_camera=True
+                )
+                return sf.gamma_encode(out.rgb, cfg)
+
+            self._eval_render_fn = render
+        return self._eval_render_fn
+
     def render_eval(self, idx: int) -> np.ndarray:
         cfg = self.model_config
         cam = self.eval_cams[idx]
-        bg = sf.background_color(self.params, cfg)
-        out = sf.render_camera(
-            self.params, cam, cfg, int(sf.active_sh_degree(cfg, self.step)), bg,
-            is_eval_camera=True,
-        )
-        return np.asarray(sf.gamma_encode(out.rgb, cfg))
+        sh_deg = sf.active_sh_degree(cfg, jnp.asarray(self.step))
+        return np.asarray(self._eval_render_jit()(self.params, cam, sh_deg))
 
     def evaluate(self) -> dict:
         cfg = self.model_config

@@ -115,7 +115,10 @@ def _render_strip_linear(
         )
         return out.rgb
 
-    rgbs = jax.vmap(render_subframe)(eps_local)   # (S_local, strip_h, W, 3)
+    if eps_local.shape[0] == 1:
+        return render_subframe(eps_local[0]), 1
+    # lax.map: compile the sub-frame body once (see models.splatfacto note)
+    rgbs = jax.lax.map(render_subframe, eps_local)   # (S_local, strip_h, W, 3)
     return rgbs.sum(axis=0), eps_local.shape[0]
 
 

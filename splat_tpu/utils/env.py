@@ -11,6 +11,22 @@ from __future__ import annotations
 import os
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache — compiles on this box's remote-compile
+    TPU tunnel run 1-10 MINUTES; caching across processes makes reruns start
+    instantly."""
+    import jax
+
+    path = cache_dir or os.environ.get(
+        "SPLAT_TPU_COMPILE_CACHE", "/tmp/splat_tpu_jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def respect_jax_platforms_env() -> None:
     want = os.environ.get("JAX_PLATFORMS")
     if not want or want == "axon":
