@@ -1,0 +1,28 @@
+#!/bin/bash
+# Plain-video quickstart — equivalent of the reference's
+# scripts/process_and_train_video.sh: COLMAP over extracted frames, then train
+# with zero-init velocity optimization (no VIO prior). ROLLING_SHUTTER=ON
+# switches from motion-blur mode to rolling-shutter mode (reference :13).
+set -e
+cd "$(dirname "$0")/.."
+PY=${PYTHON:-python}
+VIDEO=$1; NAME=${2:-custom-video}
+[ -z "$VIDEO" ] && { echo "usage: $0 <video> [name]"; exit 1; }
+
+WORK=data/inputs-processed/video/$NAME
+mkdir -p "$WORK/images"
+ffmpeg -y -loglevel error -i "$VIDEO" -vf "select=not(mod(n\,$((${NUM_FRAMES:-100}))))" -vsync vfr "$WORK/images/frame_%05d.png"
+$PY cli/run_colmap.py "$WORK"
+
+if [ "${ROLLING_SHUTTER:-OFF}" = "ON" ]; then
+  MODEFLAGS="--pipeline.model.blur-samples 0 --pipeline.model.rolling-shutter-compensation True --pipeline.model.gamma 1.0"
+else
+  MODEFLAGS="--pipeline.model.blur-samples 5 --pipeline.model.rolling-shutter-compensation False --pipeline.model.gamma 2.2 --pipeline.model.min-rgb-level 10"
+fi
+
+$PY cli/fit.py splatfacto --data "$WORK" \
+  --experiment-name "video/$NAME" \
+  --pipeline.model.camera-velocity-optimizer.enabled True \
+  --pipeline.model.camera-velocity-optimizer.zero-initial-velocities True \
+  $MODEFLAGS \
+  nerfstudio-data --eval-mode all

@@ -193,3 +193,19 @@ def test_train_driver_dry_run(tmp_path):
     assert len(lines) == 8  # 8 synthetic-mb variants
     assert any("--pipeline.model.blur-samples 10" in l for l in lines)
     assert all("--max-num-iterations 3000" in l for l in lines)  # draft
+
+
+def test_evaluate_cli(fit_run):
+    import subprocess
+
+    run_root = fit_run / "testds" / "baseline" / "scene" / "splatfacto"
+    config_path = next(run_root.iterdir()) / "config.json"
+    out_path = config_path.parent / "metrics_reeval.json"
+    subprocess.check_call(
+        [sys.executable, str(REPO / "cli" / "evaluate.py"),
+         "--load-config", str(config_path), "--output-path", str(out_path)],
+        cwd=REPO,
+    )
+    m = json.loads(out_path.read_text())
+    assert "psnr" in m["results"] and np.isfinite(m["results"]["psnr"])
+    assert m["checkpoint_step"] == 40
