@@ -123,6 +123,16 @@ def make_refine(config: SplatfactoConfig):
         split_mask = high & big
         clone_mask = high & ~big
 
+        # Trim candidates to the available dead slots UP FRONT so a split
+        # whose second half cannot be placed does not get its original
+        # modified (capacity pressure then just defers the densify).
+        want = split_mask | clone_mask
+        n_dead = params.alive.shape[0] - alive_b.sum()
+        cand_rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+        placeable = want & (cand_rank < n_dead)
+        split_mask = split_mask & placeable
+        clone_mask = clone_mask & placeable
+
         # ---- build new gaussians (one new slot per candidate) ----
         # split: sample a new position from the gaussian; shrink both copies.
         R = se3.quat_to_rotmat(se3.quat_normalize(params.quats))
