@@ -62,7 +62,7 @@ def grad_of(f):
 # stats for tile 32
 p = proj_fn(means)
 for tile, mtpg in ((16, 16), (32, 8)):
-    lists = tiling.build_tile_lists(p.means2d, p.radii, p.depths, p.valid, RES, RES, tile, 1024, mtpg)
+    lists = tiling.build_tile_lists(p.means2d, p.extents, p.depths, p.valid, RES, RES, tile, 1024, mtpg)
     c = np.asarray(lists.counts)
     print(f"tile{tile}: counts mean {c.mean():.0f} max {c.max()} p99 {np.percentile(c,99):.0f} overflow {int(lists.overflow)}", flush=True)
 
@@ -79,7 +79,7 @@ def fwd_only_bwd(tile, mpt, mtpg):
 
     def f(means):
         pjt = proj_fn(means)
-        lists = tiling.build_tile_lists(pjt.means2d, pjt.radii, pjt.depths, pjt.valid,
+        lists = tiling.build_tile_lists(pjt.means2d, pjt.extents, pjt.depths, pjt.valid,
                                         RES, RES, tile, mpt, mtpg)
         table = pack_param_table(pjt, colors, opac)
         idx = jnp.where(lists.indices >= 0, lists.indices, N)

@@ -39,7 +39,7 @@ def stage_proj(means):
 
 def stage_lists(means):
     p = proj_fn(means)
-    lists = tiling.build_tile_lists(p.means2d, p.radii, p.depths, p.valid, RES, RES, TILE, MPT, MTPG)
+    lists = tiling.build_tile_lists(p.means2d, p.extents, p.depths, p.valid, RES, RES, TILE, MPT, MTPG)
     return jnp.sum(lists.indices) + jnp.sum(lists.counts)
 
 
@@ -53,13 +53,13 @@ def _pack(p, lists):
 
 def stage_gather(means):
     p = proj_fn(means)
-    lists = tiling.build_tile_lists(p.means2d, p.radii, p.depths, p.valid, RES, RES, TILE, MPT, MTPG)
+    lists = tiling.build_tile_lists(p.means2d, p.extents, p.depths, p.valid, RES, RES, TILE, MPT, MTPG)
     return jnp.sum(_pack(p, lists))
 
 
 def stage_fwd(means):
     p = proj_fn(means)
-    lists = tiling.build_tile_lists(p.means2d, p.radii, p.depths, p.valid, RES, RES, TILE, MPT, MTPG)
+    lists = tiling.build_tile_lists(p.means2d, p.extents, p.depths, p.valid, RES, RES, TILE, MPT, MTPG)
     packed = _pack(p, lists)
     tw, _ = tiling.num_tiles(RES, RES, TILE)
     out = rasterize_fwd_packed(packed, lists.counts, jnp.float32(0.03), TILE, tw, RES)

@@ -139,6 +139,7 @@ def generate_scene(
     gamma: float = 2.2,
     seed: int = 0,
     eval_interval: int = 8,
+    background=(0.0, 0.0, 0.0),
 ) -> dict:
     """Write a full reference-contract dataset; returns the scene dict."""
     from PIL import Image
@@ -163,7 +164,7 @@ def generate_scene(
         img = render_frame_gt(
             gauss, orbit_pose_gl, t_mid, fx, fy, cx, cy, img_size, img_size,
             exposure=exp_i, rs_time=rs_i, n_samples=1 if is_eval else n_blur_samples,
-            gamma=gamma,
+            gamma=gamma, background=background,
         )
         name = f"images/frame_{i:05d}.png"
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out_dir / name)

@@ -172,6 +172,21 @@ def make_eval_opt_step(
     return eval_opt_step
 
 
+def grow_opt_state(opt_state, old_capacity: int, new_capacity: int):
+    """Pad per-Gaussian optimizer-state leaves (Adam moments) to the new
+    capacity with zeros — preserving existing moments AND schedule counts
+    (re-initializing the whole state would reset the LR decay)."""
+    pad = new_capacity - old_capacity
+
+    def fix(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == old_capacity:
+            widths = [(0, pad)] + [(0, 0)] * (leaf.ndim - 1)
+            return jnp.pad(leaf, widths)
+        return leaf
+
+    return jax.tree.map(fix, opt_state)
+
+
 def zero_gaussian_opt_slots(opt_state, changed: jax.Array, capacity: int):
     """Zero Adam moments at refreshed gaussian slots (splatfacto resets opt
     state for dup/split params). Applies to every opt-state leaf whose leading
@@ -277,7 +292,8 @@ class Trainer:
         if frac > tc.grow_threshold and cap < tc.max_capacity:
             new_cap = min(cap * 2, tc.max_capacity)
             self.params = self.params._replace(gaussians=st.grow_capacity(g, new_cap))
-            self.opt_state = self.optimizer.init(self.params)  # re-init (capacity changed)
+            # pad (not re-init): keeps Adam moments and LR-schedule counts
+            self.opt_state = grow_opt_state(self.opt_state, cap, new_cap)
             self.strat_state = st.init_strategy_state(new_cap, self.trainer_config.seed)
             return True
         return False

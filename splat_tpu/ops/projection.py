@@ -43,6 +43,10 @@ class ProjectedGaussians(NamedTuple):
     compensations: jax.Array  # (N,) antialiasing opacity factor rho
     pix_vels: jax.Array      # (N, 2) screen-space velocity px/s (fork extension)
     valid: jax.Array         # (N,) bool: in front of camera and non-degenerate
+    extents: jax.Array       # (N, 2) 3-sigma axis-aligned half-extents
+                             # (3 sqrt(Sigma_xx), 3 sqrt(Sigma_yy)) — tighter
+                             # tile footprint than the circumscribed radius
+                             # for anisotropic splats
 
 
 def scale_quat_to_cov3d(scales: jax.Array, quats: jax.Array) -> jax.Array:
@@ -128,11 +132,16 @@ def project_gaussians(
     mid = 0.5 * (a_d + c_d)
     lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    # Exact AABB of the 3-sigma ellipse: half-extents 3 sqrt(diag(cov2d)).
+    extents = jnp.ceil(
+        3.0 * jnp.sqrt(jnp.maximum(jnp.stack([a_d, c_d], axis=-1), 0.0))
+    )
 
     means2d = jnp.stack([fx * x * inv_z + cx, fy * y * inv_z + cy], axis=-1)
 
     valid = in_front & det_ok
     radii = jnp.where(valid, radii, 0.0)
+    extents = jnp.where(valid[..., None], extents, 0.0)
 
     # Screen-space pixel velocity (fork ★): Xdot = -omega x X_cam - v; udot = J Xdot.
     if lin_vel is None:
@@ -152,4 +161,5 @@ def project_gaussians(
         compensations=jnp.where(valid, compensations, 0.0),
         pix_vels=pix_vels,
         valid=valid,
+        extents=extents,
     )

@@ -203,7 +203,7 @@ def rasterize(
     radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * jnp.abs(rs) * 0.5
 
     lists = tiling.build_tile_lists(
-        proj.means2d, proj.radii, proj.depths, proj.valid,
+        proj.means2d, proj.extents, proj.depths, proj.valid,
         img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
         radius_pad=radius_pad,
     )

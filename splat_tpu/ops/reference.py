@@ -93,7 +93,7 @@ def render_reference(
         rs_abs = jnp.abs(jnp.asarray(rolling_shutter_time, dtype=dtype))
         radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * rs_abs * 0.5
         rects, _ = _tiling.gaussian_tile_rects(
-            proj.means2d, proj.radii, proj.valid, img_w, img_h, tile_size,
+            proj.means2d, proj.extents, proj.valid, img_w, img_h, tile_size,
             radius_pad=radius_pad, max_span=span,
         )
         rect_arr = jnp.stack([rects.x0, rects.y0, rects.x1, rects.y1], axis=-1)

@@ -53,7 +53,7 @@ def num_tiles(img_w: int, img_h: int, tile_size: int) -> tuple[int, int]:
 
 def gaussian_tile_rects(
     means2d: jax.Array,
-    radii: jax.Array,
+    extents: jax.Array,
     valid: jax.Array,
     img_w: int,
     img_h: int,
@@ -63,17 +63,24 @@ def gaussian_tile_rects(
 ) -> tuple[TileRects, jax.Array]:
     """Tile-coordinate rects [x0,x1) x [y0,y1) per Gaussian.
 
+    extents: (N, 2) per-axis half-extents of the splat footprint (the exact
+    3-sigma ellipse AABB from projection — tighter than a circumscribed
+    radius for anisotropic splats), or (N,) scalar radii.
     radius_pad: optional extra pixel radius (e.g. rolling-shutter screen motion
     |pix_vel| * t_max) so moving Gaussians stay inside their binned tiles.
     max_span: clamp rect width/height to this many tiles, centered on the mean
     (keeps the expansion budget static). Returns (rects, was_clipped).
     """
     tw, th = num_tiles(img_w, img_h, tile_size)
-    r = radii + (0.0 if radius_pad is None else radius_pad)
-    x0 = jnp.floor((means2d[:, 0] - r) / tile_size).astype(jnp.int32)
-    y0 = jnp.floor((means2d[:, 1] - r) / tile_size).astype(jnp.int32)
-    x1 = jnp.floor((means2d[:, 0] + r) / tile_size).astype(jnp.int32) + 1
-    y1 = jnp.floor((means2d[:, 1] + r) / tile_size).astype(jnp.int32) + 1
+    if extents.ndim == 1:
+        extents = jnp.stack([extents, extents], axis=-1)
+    pad = 0.0 if radius_pad is None else radius_pad
+    rx = extents[:, 0] + pad
+    ry = extents[:, 1] + pad
+    x0 = jnp.floor((means2d[:, 0] - rx) / tile_size).astype(jnp.int32)
+    y0 = jnp.floor((means2d[:, 1] - ry) / tile_size).astype(jnp.int32)
+    x1 = jnp.floor((means2d[:, 0] + rx) / tile_size).astype(jnp.int32) + 1
+    y1 = jnp.floor((means2d[:, 1] + ry) / tile_size).astype(jnp.int32) + 1
     x0 = jnp.clip(x0, 0, tw)
     y0 = jnp.clip(y0, 0, th)
     x1 = jnp.clip(x1, 0, tw)
@@ -94,7 +101,7 @@ def gaussian_tile_rects(
         y0 = jnp.where(wide_y, ny0, y0)
         y1 = jnp.where(wide_y, jnp.minimum(ny0 + max_span, th), y1)
 
-    keep = valid & (radii > 0)
+    keep = valid & (jnp.max(extents, axis=-1) > 0)
     x1 = jnp.where(keep, x1, x0)  # empty rect for culled gaussians
     y1 = jnp.where(keep, y1, y0)
     return TileRects(x0, y0, x1, y1), clipped & keep
@@ -105,7 +112,7 @@ def gaussian_tile_rects(
 )
 def build_tile_lists(
     means2d: jax.Array,
-    radii: jax.Array,
+    extents: jax.Array,
     depths: jax.Array,
     valid: jax.Array,
     img_w: int,
@@ -123,7 +130,7 @@ def build_tile_lists(
 
     rects, was_clipped = gaussian_tile_rects(
         jax.lax.stop_gradient(means2d),
-        jax.lax.stop_gradient(radii),
+        jax.lax.stop_gradient(extents),
         valid, img_w, img_h, tile_size,
         radius_pad=None if radius_pad is None else jax.lax.stop_gradient(radius_pad),
         max_span=span,

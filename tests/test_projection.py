@@ -1,4 +1,5 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,3 +143,22 @@ def test_sh_basis_orthonormal_mc():
     B = np.asarray(sh.eval_sh_basis(2, jnp.asarray(d)))
     gram = 4 * np.pi * (B.T @ B) / d.shape[0]
     np.testing.assert_allclose(gram, np.eye(9), atol=0.05)
+
+
+def test_extents_tighter_than_radius_for_anisotropic():
+    # A very elongated gaussian: the AABB extents must be much tighter than
+    # the circumscribed radius on the minor axis, and both >= the 3-sigma
+    # ellipse support.
+    fx, fy, cx, cy, w, h = make_camera()
+    proj = projection.project_gaussians(
+        jnp.array([[0.0, 0.0, 4.0]]),
+        jnp.array([[0.5, 0.01, 0.01]]),  # needle along x
+        jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+        jnp.eye(3), jnp.zeros(3), fx, fy, cx, cy, w, h,
+    )
+    ex = np.asarray(proj.extents[0])
+    r = float(proj.radii[0])
+    assert ex[0] == pytest.approx(r, rel=0.05)   # major axis ~ radius
+    assert ex[1] < r * 0.2                        # minor axis much tighter
+    var_y = (fx * 0.01 / 4.0) ** 2 + projection.COV2D_DILATION
+    assert ex[1] >= 3.0 * np.sqrt(var_y) - 1.0    # still covers 3 sigma

@@ -104,7 +104,7 @@ def test_overflow_reported():
         jnp.eye(3), jnp.zeros(3), 50.0, 50.0, 16.0, 16.0, 32, 32,
     )
     lists = tiling.build_tile_lists(
-        proj.means2d, proj.radii, proj.depths, proj.valid, 32, 32,
+        proj.means2d, proj.extents, proj.depths, proj.valid, 32, 32,
         tile_size=16, max_per_tile=16, max_tiles_per_gaussian=16,
     )
     assert int(lists.overflow) > 0
@@ -114,7 +114,7 @@ def test_overflow_reported():
 def test_tile_lists_depth_sorted():
     proj, colors, opac, w, h = make_scene(seed=5)
     lists = tiling.build_tile_lists(
-        proj.means2d, proj.radii, proj.depths, proj.valid, w, h,
+        proj.means2d, proj.extents, proj.depths, proj.valid, w, h,
         tile_size=8, max_per_tile=128, max_tiles_per_gaussian=64,
     )
     idx = np.asarray(lists.indices)
