@@ -107,11 +107,13 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, opt_state, strat_state, camera, gt, step, key):
-        bg = sf.background_color(params, config, key)
         sh_deg = sf.active_sh_degree(config, step)
         probe = jnp.zeros_like(params.gaussians.means[:, :2])
 
         def loss_fn(p, probe):
+            # background from the DIFFERENTIATED params — computing it outside
+            # would silently freeze the learnable background (auto mode)
+            bg = sf.background_color(p, config, key)
             out = sf.render_camera(
                 p, camera, config, sh_deg, bg, means2d_probe=probe
             )
@@ -391,7 +393,9 @@ class Trainer:
                 out = sf.render_camera(
                     params, cam, cfg, sh_deg, bg, is_eval_camera=True
                 )
-                return sf.gamma_encode(out.rgb, cfg)
+                # clip for metrics: gamma=1 renders are unbounded above and
+                # would corrupt SSIM statistics (ns-eval compares display rgb)
+                return jnp.clip(sf.gamma_encode(out.rgb, cfg), 0.0, 1.0)
 
             self._eval_render_fn = render
         return self._eval_render_fn
@@ -442,6 +446,30 @@ class Trainer:
 
         path = Path(path).absolute()
         ckptr = ocp.StandardCheckpointer()
+        # Adapt to the stored Gaussian capacity (densification may have grown
+        # it past this trainer's initial capacity).
+        try:
+            meta = ckptr.metadata(path)
+            stored_cap = meta.item_metadata.tree["gaussians"]["means"].shape[0]
+        except Exception:
+            stored_cap = self.params.gaussians.alive.shape[0]
+        cap = self.params.gaussians.alive.shape[0]
+        if stored_cap != cap:
+            if stored_cap > cap:
+                self.params = self.params._replace(
+                    gaussians=st.grow_capacity(self.params.gaussians, stored_cap)
+                )
+            else:
+                g = self.params.gaussians
+                self.params = self.params._replace(
+                    gaussians=sf.GaussianParams(
+                        *(leaf[:stored_cap] for leaf in g)
+                    )
+                )
+            self.opt_state = self.optimizer.init(self.params)
+            self.strat_state = st.init_strategy_state(
+                stored_cap, self.trainer_config.seed
+            )
         template = {
             "gaussians": self.params.gaussians._asdict(),
             "background_logit": self.params.background_logit,

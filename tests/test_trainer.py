@@ -101,3 +101,12 @@ def test_progressive_resolution(fixture_scene):
     t.run(45)  # crosses the schedule boundary (level 1 -> 0): recompile works
     assert t._resolution_level() == 0
     assert np.isfinite(t.evaluate()["psnr"])
+
+
+def test_learnable_background_receives_gradients(fixture_scene):
+    # regression: bg computed outside the differentiated params froze it
+    mc = small_model_config(background_color="auto")
+    t = tr.Trainer(fixture_scene, mc, tr.TrainerConfig(max_steps=10, seed=0))
+    assert float(jnp.abs(t.params.background_logit).sum()) == 0.0
+    t.run(10)
+    assert float(jnp.abs(t.params.background_logit).sum()) > 0
