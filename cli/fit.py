@@ -61,11 +61,24 @@ def main(argv=None):
         )
 
     steps_done = 0
+    next_eval = cfg.steps_per_eval
     while steps_done < cfg.max_num_iterations:
-        chunk = min(cfg.steps_per_save, cfg.max_num_iterations - steps_done)
+        chunk = min(
+            cfg.steps_per_save,
+            cfg.max_num_iterations - steps_done,
+            max(next_eval - steps_done, 1) if cfg.steps_per_eval > 0 else 1 << 30,
+        )
         trainer.run(chunk, progress_cb=cb)
         steps_done += chunk
-        trainer.save_checkpoint(run_dir / "checkpoints" / f"step_{trainer.step}")
+        if cfg.steps_per_eval > 0 and steps_done >= next_eval:
+            m = trainer.evaluate()
+            rec = {"step": trainer.step, **{f"eval_{k}": v for k, v in m.items()}}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"eval @ {trainer.step}: {m}", flush=True)
+            next_eval += cfg.steps_per_eval
+        if steps_done % cfg.steps_per_save == 0 or steps_done >= cfg.max_num_iterations:
+            trainer.save_checkpoint(run_dir / "checkpoints" / f"step_{trainer.step}")
 
     wall = time.time() - t0
     metrics = trainer.evaluate()
