@@ -292,3 +292,52 @@ def test_path_velocities_match_finite_difference():
     R = sp(2.0)[0][:3, :3]
     np.testing.assert_allclose(R @ np.asarray(v), dp, atol=1e-3)
     assert np.isfinite(w).all() and np.linalg.norm(w) > 0
+
+
+# ------------------------------------------------- deblur-nerf converter
+def test_novel_view_pose_transfer():
+    import process_deblur_nerf_inputs as pdn
+
+    rng = np.random.default_rng(0)
+
+    def rand_pose():
+        from scipy.spatial.transform import Rotation
+
+        m = np.eye(4)
+        m[:3, :3] = Rotation.random(random_state=rng).as_matrix()
+        m[:3, 3] = rng.normal(size=3)
+        return m
+
+    # "true" poses of 17 frames; pass 2 registers all of them in gauge B
+    true = [rand_pose() for _ in range(17)]
+    gauge = rand_pose()  # pass-1 gauge differs by a rigid transform
+    pass1_frames = []
+    orig = 0
+    for i, p in enumerate(true):
+        if i % 8 == 0:
+            continue
+        pass1_frames.append({
+            "file_path": f"images/frame_{orig + 1:05d}.png",
+            "transform_matrix": (gauge @ p).tolist(),
+        })
+        orig += 1
+    pass2_frames = [
+        {"file_path": f"images/frame_{i + 1:05d}.png", "transform_matrix": p.tolist()}
+        for i, p in enumerate(true)
+    ]
+    combined = pdn.transfer_novel_view_poses(
+        {"frames": pass1_frames, "fl_x": 1.0}, {"frames": pass2_frames}
+    )
+    assert len(combined["frames"]) == 17
+    assert combined["fl_x"] == 1.0  # pass-1 intrinsics kept
+    for i, f in enumerate(sorted(combined["frames"], key=lambda x: x["file_path"])):
+        got = np.array(f["transform_matrix"])
+        np.testing.assert_allclose(got, gauge @ true[i], atol=1e-9)
+
+
+def test_canonical_scene_name():
+    import process_deblur_nerf_inputs as pdn
+
+    assert pdn.canonical_scene_name("blurwine") == "trolley"
+    assert pdn.canonical_scene_name("blurtanabata2") == "tanabata"
+    assert pdn.canonical_scene_name("cozyroom") == "cozyroom"
