@@ -341,3 +341,17 @@ def test_canonical_scene_name():
     assert pdn.canonical_scene_name("blurwine") == "trolley"
     assert pdn.canonical_scene_name("blurtanabata2") == "tanabata"
     assert pdn.canonical_scene_name("cozyroom") == "cozyroom"
+
+
+def test_exposure_from_data_jsonl(tmp_path):
+    import process_sai_custom as psc
+
+    lines = [
+        json.dumps({"frames": [{"exposureTimeSeconds": 0.01}]}),
+        json.dumps({"frames": [{"exposureTimeSeconds": 0.02}]}),
+        json.dumps({"sensor": "imu"}),
+        json.dumps({"frames": [{"exposureTimeSeconds": 0.03}]}),
+    ]
+    (tmp_path / "data.jsonl").write_text("\n".join(lines))
+    assert psc.exposure_from_data_jsonl(tmp_path) == pytest.approx(0.02)
+    assert psc.exposure_from_data_jsonl(tmp_path / "missing") is None
