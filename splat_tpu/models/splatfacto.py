@@ -40,6 +40,12 @@ from ..ops.reference import RenderOutput
 class SplatfactoConfig:
     # --- method flags (reference train.py:14-70) ---
     blur_samples: int = 5                      # 0 = motion-blur compensation off
+    # fused: project/bin ONCE at mid-exposure, render all sub-frames in the
+    #   rasterizer by the first-order screen-space velocity warp (same warp the
+    #   method uses for rolling shutter, Appendix B.3) — the TPU-native fast
+    #   path (sort/gather/grad-scatter amortized over the exposure).
+    # exact: re-project at each sub-frame pose like the reference (train.py:22).
+    blur_mode: str = "fused"
     rolling_shutter_compensation: bool = True
     gamma: float = 2.2                         # 1.0 when MB compensation off
     min_rgb_level: float = 10.0                # black-level floor, 0..255 scale
@@ -256,7 +262,8 @@ def render_camera(
     cx, cy = camera.cx[0], camera.cy[0]
     w, h = camera.width, camera.height
 
-    def render_subframe(t_s):
+    def subframe_inputs(t_s):
+        """Projection + view-dependent colors for the pose at exposure time t_s."""
         Rt, pt = se3.se3_advance_c2w(R0, p0, v, om, t_s)
         R_cw = Rt.T
         t_cw = -jnp.matmul(R_cw, pt, precision=jax.lax.Precision.HIGHEST)
@@ -273,6 +280,10 @@ def render_camera(
         dirs = g.means - pt
         dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
         colors = sh_eval_switch(sh_degree_active, config.sh_degree, dirs, coeffs)
+        return proj, colors
+
+    def render_subframe(t_s):
+        proj, colors = subframe_inputs(t_s)
         return rasterize.rasterize(
             proj, colors, opac, w, h, background,
             rolling_shutter_time=rs_time,
@@ -283,13 +294,29 @@ def render_camera(
             impl=config.impl,
         )
 
-    # Sub-frames are independent renders averaged at the end. lax.map compiles
-    # the sub-frame body ONCE (vmap would inline S copies of the projection/
-    # sort/rasterize graph — measured ~5x compile time for blur_samples=5 with
-    # no runtime win: each sub-frame is already chip-filling work).
     if eps.shape[0] == 1:
         outs = jax.tree.map(lambda x: x[None], render_subframe(eps[0]))
+    elif config.blur_mode == "fused":
+        # TPU fast path: one projection/binning at mid-exposure; the rasterizer
+        # renders every sub-frame via the screen-space velocity warp, with the
+        # per-tile parameter block resident in VMEM across samples.
+        proj, colors = subframe_inputs(jnp.zeros(()))
+        outs = rasterize.rasterize_fused(
+            proj, colors, opac, w, h, background,
+            eps=eps,
+            rolling_shutter_time=rs_time,
+            tile_size=config.tile_size,
+            max_per_tile=config.max_per_tile,
+            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+            chunk=config.chunk,
+            impl=config.impl,
+        )
     else:
+        # Exact per-sub-frame reprojection (reference semantics). lax.map
+        # compiles the sub-frame body ONCE (vmap would inline S copies of the
+        # projection/sort/rasterize graph — measured ~5x compile time for
+        # blur_samples=5 with no runtime win: each sub-frame is already
+        # chip-filling work).
         outs = jax.lax.map(render_subframe, eps)
     rgb = outs.rgb.mean(axis=0)
     alpha = outs.alpha.mean(axis=0)

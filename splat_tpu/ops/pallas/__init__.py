@@ -26,28 +26,29 @@ from .rasterize_kernels import (
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _composite_packed(params_packed, counts, rs_time, row_offset, tile_size, tiles_x, img_h):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _composite_packed(params_packed, counts, rs_time, row_offset, eps, tile_size, tiles_x, img_h):
     return rasterize_fwd_packed(
-        params_packed, counts, rs_time, tile_size, tiles_x, img_h, row_offset
+        params_packed, counts, rs_time, tile_size, tiles_x, img_h, row_offset, eps
     )
 
 
-def _composite_fwd(params_packed, counts, rs_time, row_offset, tile_size, tiles_x, img_h):
+def _composite_fwd(params_packed, counts, rs_time, row_offset, eps, tile_size, tiles_x, img_h):
     out = rasterize_fwd_packed(
-        params_packed, counts, rs_time, tile_size, tiles_x, img_h, row_offset
+        params_packed, counts, rs_time, tile_size, tiles_x, img_h, row_offset, eps
     )
-    return out, (params_packed, counts, rs_time, row_offset, out)
+    return out, (params_packed, counts, rs_time, row_offset, eps, out)
 
 
 def _composite_bwd(tile_size, tiles_x, img_h, res, g_out):
-    params_packed, counts, rs_time, row_offset, fwd_out = res
+    params_packed, counts, rs_time, row_offset, eps, fwd_out = res
     d_params = rasterize_bwd_packed(
         params_packed, counts, rs_time, fwd_out, g_out, tile_size, tiles_x, img_h,
-        row_offset,
+        row_offset, eps,
     )
     d_counts = np.zeros(counts.shape, jax.dtypes.float0)  # int arg: float0 zero
-    return d_params, d_counts, jnp.zeros_like(rs_time), jnp.zeros_like(row_offset)
+    return (d_params, d_counts, jnp.zeros_like(rs_time), jnp.zeros_like(row_offset),
+            jnp.zeros_like(eps))
 
 
 _composite_packed.defvjp(_composite_fwd, _composite_bwd)
@@ -88,7 +89,16 @@ def rasterize_tiles_pallas(
     rs_time: jax.Array,
     rs_full_height: int | None = None,
     rs_row_offset: jax.Array | int = 0,
+    eps: jax.Array | None = None,
 ):
+    """Per-tile compositing via the Pallas kernels.
+
+    eps: optional (S,) blur sub-frame times for the fused exposure path — the
+    expensive binning/gather happened ONCE upstream; the kernels render all S
+    sub-frames from the resident per-tile parameter blocks. Returns per-tile
+    (rgb (T,S,s,s,3), depth (T,S,s,s), transmittance (T,S,s,s)); S=1 when
+    eps is None.
+    """
     tw, th = tiling.num_tiles(img_w, img_h, tile_size)
     n = proj.means2d.shape[0]
     table = pack_param_table(proj, colors, opacities)
@@ -99,14 +109,15 @@ def rasterize_tiles_pallas(
         idx = jnp.pad(idx, ((0, 0), (0, pad_k)), constant_values=n)
     gathered = jnp.take(table, idx, axis=0)                # (T, K, 16)
     packed = jnp.transpose(gathered, (0, 2, 1))            # (T, 16, K), fused
+    eps_arr = jnp.zeros((1,), jnp.float32) if eps is None else jnp.asarray(eps, jnp.float32)
     out = _composite_packed(
         packed, lists.counts, jnp.asarray(rs_time, jnp.float32),
-        jnp.asarray(rs_row_offset, jnp.float32),
+        jnp.asarray(rs_row_offset, jnp.float32), eps_arr,
         tile_size, tw, rs_full_height or img_h,
-    )  # (T, 8, npix)
-    n_tiles = out.shape[0]
+    )  # (T, S, 8, npix)
+    n_tiles, n_samples = out.shape[0], out.shape[1]
     s = tile_size
-    rgb_t = jnp.transpose(out[:, 0:3, :], (0, 2, 1)).reshape(n_tiles, s, s, 3)
-    dep_t = out[:, 3, :].reshape(n_tiles, s, s)
-    T_t = out[:, 4, :].reshape(n_tiles, s, s)
+    rgb_t = jnp.transpose(out[:, :, 0:3, :], (0, 1, 3, 2)).reshape(n_tiles, n_samples, s, s, 3)
+    dep_t = out[:, :, 3, :].reshape(n_tiles, n_samples, s, s)
+    T_t = out[:, :, 4, :].reshape(n_tiles, n_samples, s, s)
     return rgb_t, dep_t, T_t

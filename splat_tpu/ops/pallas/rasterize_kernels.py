@@ -15,6 +15,17 @@ CUDA kernels (SURVEY.md §2c #5/#6). Key departures from the CUDA design:
     lanes (128) — alpha matrices are (npix, 128) f32 tiles.
   * Per-tile dynamic trip count (ceil(count/128)) plus transmittance early
     exit via lax.while_loop; tiles with few Gaussians cost one iteration.
+  * Fused exposure (motion blur): the grid carries a second axis over blur
+    sub-frame times eps_s. The per-pixel readout time becomes
+    t = eps_s + t_rs*(py/H - 1/2) and the Gaussian mean is shifted by
+    pix_vel * t — the SAME first-order screen-space warp the method uses for
+    rolling shutter (SURVEY.md Appendix B.3), applied to the exposure window.
+    The per-tile parameter block stays resident in VMEM across the S samples
+    and the backward accumulates d_params across samples in-place, so the
+    expensive sort/gather/scatter pipeline runs ONCE per frame instead of once
+    per sub-frame (the reference re-projects and re-bins per sub-frame,
+    train.py:22 x 20k steps). Exact per-sub-frame reprojection remains
+    available as the model's blur_mode="exact" path.
   * Backward is a single FORWARD-order pass (no back-to-front re-traversal,
     no atomics): the suffix contribution S_i needed for d(alpha_i) is
     recovered as A_total - prefix_i, where A_total is reconstructed from the
@@ -46,17 +57,19 @@ NPARAM = 16
 NOUT = 8
 
 
-def _pixel_coords(tile_size: int, tx, ty, img_h: int, rs_time, row_offset, dtype=jnp.float32):
-    """(npix, 1) pixel-center coords and per-pixel residual readout time.
+def _pixel_coords(tile_size: int, tx, ty, img_h: int, rs_time, row_offset, eps_s,
+                  dtype=jnp.float32):
+    """(npix, 1) pixel-center coords and per-pixel sampling-time offset.
 
     px/py are local to the rendered region (match means2d); the rolling-shutter
     scanline time uses the GLOBAL row (py + row_offset over the full height) so
-    row-strip-sharded rendering stays exact."""
+    row-strip-sharded rendering stays exact. eps_s is this blur sub-frame's
+    time within the exposure window (0 for single-sample rendering)."""
     npix = tile_size * tile_size
     p = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
     px = (tx + p % tile_size).astype(dtype) + 0.5
     py = (ty + p // tile_size).astype(dtype) + 0.5
-    t_row = rs_time * ((py + row_offset) / img_h - 0.5)
+    t_row = eps_s + rs_time * ((py + row_offset) / img_h - 0.5)
     return px, py, t_row
 
 
@@ -97,13 +110,15 @@ def _cumlog(alpha):
 
 def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tiles_x, img_h):
     t = pl.program_id(0)
+    s = pl.program_id(1)
     count = counts_ref[t]
     rs_time = scalars_ref[0]
     row_offset = scalars_ref[1]
+    eps_s = scalars_ref[2 + s]
     npix = tile_size * tile_size
     tx = (t % tiles_x) * tile_size
     ty = (t // tiles_x) * tile_size
-    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset)
+    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, eps_s)
     k_max = params_ref.shape[2]
     n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, k_max // CHUNK)
 
@@ -141,7 +156,7 @@ def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tile
     packed = jnp.concatenate(
         [rgb_acc, dep_acc, T, jnp.zeros((npix, NOUT - 5), jnp.float32)], axis=1
     )                                            # (npix, 8)
-    out_ref[0] = packed.T                        # (8, npix)
+    out_ref[0, 0] = packed.T                     # (8, npix)
 
 
 def _bwd_kernel(
@@ -149,18 +164,20 @@ def _bwd_kernel(
     *, tile_size, tiles_x, img_h,
 ):
     t = pl.program_id(0)
+    s = pl.program_id(1)
     count = counts_ref[t]
     rs_time = scalars_ref[0]
     row_offset = scalars_ref[1]
+    eps_s = scalars_ref[2 + s]
     npix = tile_size * tile_size
     tx = (t % tiles_x) * tile_size
     ty = (t // tiles_x) * tile_size
-    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset)
+    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, eps_s)
     k_max = params_ref.shape[2]
     n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, k_max // CHUNK)
 
-    fwd = fwd_out_ref[0]                        # (8, npix)
-    g = g_out_ref[0]                            # (8, npix)
+    fwd = fwd_out_ref[0, 0]                     # (8, npix)
+    g = g_out_ref[0, 0]                         # (8, npix)
     dC = g[0:3].T                               # (npix, 3)
     dD = g[3:4].T                               # (npix, 1)
     dT = g[4:5].T                               # (npix, 1)
@@ -173,7 +190,11 @@ def _bwd_kernel(
         jnp.sum(rgb_out * dC, axis=1, keepdims=True) + dep_out * dD + T_final * dT
     )
 
-    d_params_ref[0] = jnp.zeros_like(d_params_ref[0])
+    # One d_params block per tile, accumulated across the S blur samples (the
+    # block index_map ignores s, so Mosaic keeps it resident in VMEM).
+    @pl.when(s == 0)
+    def _():
+        d_params_ref[0] = jnp.zeros_like(d_params_ref[0])
 
     def cond(carry):
         i, _, _ = carry
@@ -241,7 +262,7 @@ def _bwd_kernel(
              jnp.zeros((NPARAM - 12, chunk), jnp.float32)],
             axis=0,
         )                                            # (16, CHUNK)
-        d_params_ref[0, :, pl.ds(base, CHUNK)] = grads
+        d_params_ref[0, :, pl.ds(base, CHUNK)] += grads
 
         prefix = prefix_inc[:, -1:]
         T = jnp.min(jnp.where(active, t_inc, T), axis=1, keepdims=True)
@@ -259,6 +280,16 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _scalar_vec(rs_time, row_offset, eps):
+    """Scalar-prefetch vector [rs_time, row_offset, eps_0..eps_{S-1}]."""
+    if eps is None:
+        eps = jnp.zeros((1,), jnp.float32)
+    return jnp.concatenate([
+        jnp.stack([jnp.asarray(rs_time, jnp.float32), jnp.asarray(row_offset, jnp.float32)]),
+        jnp.asarray(eps, jnp.float32).reshape(-1),
+    ])
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_size", "tiles_x", "img_h")
 )
@@ -270,32 +301,37 @@ def rasterize_fwd_packed(
     tiles_x: int,
     img_h: int,                 # FULL image height (rolling-shutter norm)
     row_offset: jax.Array | float = 0.0,
-) -> jax.Array:                 # (T, 8, npix)
+    eps: jax.Array | None = None,  # (S,) blur sample times; None -> S=1, t=0
+) -> jax.Array:                 # (T, S, 8, npix)
     n_tiles, _, k = params_packed.shape
+    n_samples = 1 if eps is None else eps.shape[0]
     npix = tile_size * tile_size
     kernel = functools.partial(
         _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_samples),
         in_specs=[
-            pl.BlockSpec((1, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            # Param block resident across the inner sample axis (index ignores s).
+            pl.BlockSpec((1, NPARAM, k), lambda t, s, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NOUT, npix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, NOUT, npix), lambda t, s, *_: (t, s, 0, 0), memory_space=pltpu.VMEM
+        ),
     )
     flops_per_gauss = npix * 30
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, NOUT, npix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_samples, NOUT, npix), jnp.float32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=int(n_tiles * k * flops_per_gauss),
-            bytes_accessed=int(params_packed.size * 4 + n_tiles * NOUT * npix * 4),
-            transcendentals=int(n_tiles * k * npix * 2),
+            flops=int(n_tiles * n_samples * k * flops_per_gauss),
+            bytes_accessed=int(params_packed.size * 4 + n_tiles * n_samples * NOUT * npix * 4),
+            transcendentals=int(n_tiles * n_samples * k * npix * 2),
         ),
-    )(counts, jnp.stack([jnp.asarray(rs_time, jnp.float32), jnp.asarray(row_offset, jnp.float32)]), params_packed)
+    )(counts, _scalar_vec(rs_time, row_offset, eps), params_packed)
 
 
 @functools.partial(
@@ -305,27 +341,30 @@ def rasterize_bwd_packed(
     params_packed: jax.Array,   # (T, 16, K)
     counts: jax.Array,
     rs_time: jax.Array,
-    fwd_out: jax.Array,         # (T, 8, npix)
-    g_out: jax.Array,           # (T, 8, npix) cotangent
+    fwd_out: jax.Array,         # (T, S, 8, npix)
+    g_out: jax.Array,           # (T, S, 8, npix) cotangent
     tile_size: int,
     tiles_x: int,
     img_h: int,
     row_offset: jax.Array | float = 0.0,
-) -> jax.Array:                 # (T, 16, K)
+    eps: jax.Array | None = None,  # (S,) blur sample times
+) -> jax.Array:                 # (T, 16, K), summed over samples
     n_tiles, _, k = params_packed.shape
+    n_samples = fwd_out.shape[1]
     npix = tile_size * tile_size
     kernel = functools.partial(
         _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_samples),
         in_specs=[
-            pl.BlockSpec((1, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NOUT, npix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NOUT, npix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPARAM, k), lambda t, s, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NOUT, npix), lambda t, s, *_: (t, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NOUT, npix), lambda t, s, *_: (t, s, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        # d block resident across the sample axis; accumulated in-kernel.
+        out_specs=pl.BlockSpec((1, NPARAM, k), lambda t, s, *_: (t, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,
@@ -333,8 +372,8 @@ def rasterize_bwd_packed(
         out_shape=jax.ShapeDtypeStruct((n_tiles, NPARAM, k), jnp.float32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=int(n_tiles * k * npix * 60),
-            bytes_accessed=int(2 * params_packed.size * 4 + 2 * n_tiles * NOUT * npix * 4),
-            transcendentals=int(n_tiles * k * npix * 2),
+            flops=int(n_tiles * n_samples * k * npix * 60),
+            bytes_accessed=int(2 * params_packed.size * 4 + 2 * n_tiles * n_samples * NOUT * npix * 4),
+            transcendentals=int(n_tiles * n_samples * k * npix * 2),
         ),
-    )(counts, jnp.stack([jnp.asarray(rs_time, jnp.float32), jnp.asarray(row_offset, jnp.float32)]), params_packed, fwd_out, g_out)
+    )(counts, _scalar_vec(rs_time, row_offset, eps), params_packed, fwd_out, g_out)

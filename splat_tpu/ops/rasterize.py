@@ -73,6 +73,7 @@ def _composite_one_tile(
     rs_time: jax.Array,
     chunk: int,
     row_offset: jax.Array | int = 0,
+    t_eps: jax.Array | float = 0.0,
 ):
     """Composite a single tile; g fields are (K, ...) for this tile.
 
@@ -88,7 +89,9 @@ def _composite_one_tile(
 
     px = origin_x + (jnp.arange(tile_size, dtype=dtype) + 0.5)[None, :]  # (1,S)
     py = origin_y + (jnp.arange(tile_size, dtype=dtype) + 0.5)[:, None]  # (S,1)
-    t_row = rs_time * ((py + row_offset) / img_h - 0.5)  # (S,1) global scanline
+    # Per-pixel sampling time: blur sub-frame offset + global rolling-shutter
+    # scanline time (SURVEY.md Appendix B.1).
+    t_row = t_eps + rs_time * ((py + row_offset) / img_h - 0.5)  # (S,1)
 
     j = jnp.arange(k_total, dtype=jnp.int32)
     in_count = j < g.counts
@@ -143,6 +146,7 @@ def composite_tiles_jnp(
     chunk: int = 32,
     rs_full_height: int | None = None,
     rs_row_offset: jax.Array | int = 0,
+    t_eps: jax.Array | float = 0.0,
 ):
     """vmapped per-tile compositing. Returns per-tile (rgb, depth_acc, T)."""
     tw, th = tiling.num_tiles(img_w, img_h, tile_size)
@@ -156,6 +160,7 @@ def composite_tiles_jnp(
             rs_time=rs_time,
             chunk=chunk,
             row_offset=rs_row_offset,
+            t_eps=t_eps,
         )
     )(g, tx, ty)
 
@@ -221,12 +226,98 @@ def rasterize(
             lists, proj, colors, opacities, img_w, img_h, tile_size, rs,
             rs_full_height=rs_full_height, rs_row_offset=rs_row_offset,
         )
+        # Single-sample render: drop the kernel's (S=1) sample axis.
+        rgb_t, dep_t, T_t = rgb_t[:, 0], dep_t[:, 0], T_t[:, 0]
     else:
         raise ValueError(f"unknown rasterize impl: {impl}")
 
     rgb = assemble_image(rgb_t, img_w, img_h, tile_size)
     depth_acc = assemble_image(dep_t, img_w, img_h, tile_size)
     T = assemble_image(T_t, img_w, img_h, tile_size)
+
+    alpha = 1.0 - T
+    rgb = rgb + T[..., None] * background
+    depth = depth_acc / jnp.maximum(alpha, 1e-10)
+    return RenderOutput(rgb=rgb, alpha=alpha, depth=depth, transmittance=T)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "img_w", "img_h", "tile_size", "max_per_tile", "max_tiles_per_gaussian",
+        "chunk", "impl", "rs_full_height",
+    ),
+)
+def rasterize_fused(
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+    img_w: int,
+    img_h: int,
+    background: jax.Array,
+    eps: jax.Array,                       # (S,) blur sub-frame times (seconds)
+    rolling_shutter_time: jax.Array | float = 0.0,
+    tile_size: int = 16,
+    max_per_tile: int = 512,
+    max_tiles_per_gaussian: int = 64,
+    chunk: int = 32,
+    impl: str = "jnp",
+    rs_full_height: int | None = None,
+    rs_row_offset: jax.Array | int = 0,
+) -> RenderOutput:
+    """Fused-exposure rasterization: all S blur sub-frames from ONE binning.
+
+    The reference re-projects and re-bins per blur sample (SURVEY.md §3.1, the
+    200k-rasterizations hot loop); here the Gaussians are projected once at
+    mid-exposure and each sub-frame is rendered by shifting means along the
+    screen-space velocity, mu + pix_vel * (eps_s + t_rs*(py/H-1/2)) — the same
+    first-order warp the method itself uses for rolling shutter (Appendix
+    B.3), applied across the exposure. Sort/gather/scatter-grad run once per
+    frame; only the compositing kernels scale with S.
+
+    Returns a RenderOutput with a leading (S,) sample axis; the caller
+    averages linear-space rgb over samples (Appendix B.4).
+    """
+    rs = jnp.asarray(rolling_shutter_time, dtype=colors.dtype)
+    # Binning pad: max |screen shift| over the exposure window + readout.
+    t_max = jnp.max(jnp.abs(eps)) + 0.5 * jnp.abs(rs)
+    radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * t_max
+
+    lists = tiling.build_tile_lists(
+        proj.means2d, proj.extents, proj.depths, proj.valid,
+        img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
+        radius_pad=radius_pad,
+    )
+
+    if impl == "jnp":
+        g = gather_tile_params(lists, proj, colors, opacities)
+        rgb_t, dep_t, T_t = jax.vmap(
+            lambda e: composite_tiles_jnp(
+                g, img_w, img_h, tile_size, rs, chunk,
+                rs_full_height=rs_full_height, rs_row_offset=rs_row_offset,
+                t_eps=e,
+            ),
+            out_axes=1,
+        )(eps)                                        # (T, S, s, s, ...)
+    elif impl == "pallas":
+        from .pallas import rasterize_tiles_pallas
+
+        rgb_t, dep_t, T_t = rasterize_tiles_pallas(
+            lists, proj, colors, opacities, img_w, img_h, tile_size, rs,
+            rs_full_height=rs_full_height, rs_row_offset=rs_row_offset,
+            eps=eps,
+        )
+    else:
+        raise ValueError(f"unknown rasterize impl: {impl}")
+
+    assemble = jax.vmap(
+        functools.partial(
+            assemble_image, img_w=img_w, img_h=img_h, tile_size=tile_size
+        )
+    )
+    rgb = assemble(jnp.moveaxis(rgb_t, 1, 0))          # (S, H, W, 3)
+    depth_acc = assemble(jnp.moveaxis(dep_t, 1, 0))
+    T = assemble(jnp.moveaxis(T_t, 1, 0))
 
     alpha = 1.0 - T
     rgb = rgb + T[..., None] * background

@@ -87,7 +87,7 @@ def _render_strip_linear(
     cy_local = camera.cy[0] - row0          # strip-local principal point
     w, full_h = camera.width, camera.height
 
-    def render_subframe(t_s):
+    def subframe_inputs(t_s):
         Rt, pt = se3.se3_advance_c2w(R0, p0, v, om, t_s)
         R_cw = Rt.T
         t_cw = -jnp.matmul(R_cw, pt, precision=jax.lax.Precision.HIGHEST)
@@ -102,22 +102,39 @@ def _render_strip_linear(
         dirs = g.means - pt
         dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
         colors = sf.sh_eval_switch(sh_degree_active, config.sh_degree, dirs, coeffs)
-        out = rasterize.rasterize(
-            proj, colors, opac, w, strip_h, background,
-            rolling_shutter_time=rs_time,
-            tile_size=config.tile_size,
-            max_per_tile=config.max_per_tile,
-            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
-            chunk=config.chunk,
-            impl=config.impl,
-            rs_full_height=full_h,
-            rs_row_offset=row0,
-        )
-        return out.rgb
+        return proj, colors
 
+    raster_kw = dict(
+        rolling_shutter_time=rs_time,
+        tile_size=config.tile_size,
+        max_per_tile=config.max_per_tile,
+        max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        chunk=config.chunk,
+        impl=config.impl,
+        rs_full_height=full_h,
+        rs_row_offset=row0,
+    )
+
+    def render_subframe(t_s):
+        proj, colors = subframe_inputs(t_s)
+        return rasterize.rasterize(
+            proj, colors, opac, w, strip_h, background, **raster_kw
+        ).rgb
+
+    if config.blur_mode == "fused" and config.blur_samples > 1:
+        # Fused exposure (models.splatfacto blur_mode="fused"): one projection
+        # and binning at mid-exposure per device; the kernels render this
+        # device's eps subset via the screen-space velocity warp. Applies even
+        # when this shard holds a single sample (n_blur == S), so semantics
+        # match the single-device fused path exactly (same warp, mid pose).
+        proj, colors = subframe_inputs(jnp.zeros(()))
+        out = rasterize.rasterize_fused(
+            proj, colors, opac, w, strip_h, background, eps=eps_local, **raster_kw
+        )
+        return out.rgb.sum(axis=0), eps_local.shape[0]
     if eps_local.shape[0] == 1:
         return render_subframe(eps_local[0]), 1
-    # lax.map: compile the sub-frame body once (see models.splatfacto note)
+    # exact mode — lax.map compiles the sub-frame body once (see models note)
     rgbs = jax.lax.map(render_subframe, eps_local)   # (S_local, strip_h, W, 3)
     return rgbs.sum(axis=0), eps_local.shape[0]
 

@@ -182,3 +182,24 @@ def test_grow_capacity():
     assert g2.means.shape[0] == 64
     assert int((g2.alive > 0.5).sum()) == 10
     np.testing.assert_array_equal(np.asarray(g2.means[:16]), np.asarray(params.gaussians.means))
+
+
+def test_fused_blur_mode_approximates_exact(model):
+    """The fused first-order-warp exposure path tracks exact per-sub-frame
+    reprojection for realistic exposure/velocity magnitudes."""
+    params, cfg = model
+    cam = make_camera(exposure=0.08, rs=0.02)
+    out_f = sf.render_camera(
+        params, cam, dataclasses.replace(cfg, blur_mode="fused", blur_samples=5),
+        1, jnp.zeros(3))
+    out_e = sf.render_camera(
+        params, cam, dataclasses.replace(cfg, blur_mode="exact", blur_samples=5),
+        1, jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(out_f.rgb)))
+    # same blur direction/shape; first-order warp vs exact reprojection
+    err = float(jnp.abs(out_f.rgb - out_e.rgb).mean())
+    assert err < 0.02, err
+    # and the fused path must differ from no-blur rendering (it does blur)
+    out_1 = sf.render_camera(
+        params, cam, dataclasses.replace(cfg, blur_samples=1), 1, jnp.zeros(3))
+    assert float(jnp.abs(out_f.rgb - out_1.rgb).max()) > 1e-3

@@ -94,3 +94,72 @@ def test_pallas_empty_and_overflow_tiles():
     out_j = rasterize.rasterize(proj, colors, opac, 32, 24, bg, impl="jnp", chunk=16, **kw)
     out_p = rasterize.rasterize(proj, colors, opac, 32, 24, bg, impl="pallas", **kw)
     np.testing.assert_allclose(np.asarray(out_p.rgb), np.asarray(out_j.rgb), atol=1e-4)
+
+
+def test_fused_jnp_matches_per_sample_shift():
+    """Fused-exposure semantics: sample s == single render with means shifted
+    by pix_vel * eps_s (plus the usual rolling-shutter term)."""
+    proj, colors, opac, w, h = make_scene(seed=4)
+    bg = jnp.array([0.2, 0.3, 0.4])
+    eps = jnp.array([-0.04, 0.0, 0.05])
+    kw = dict(tile_size=8, max_per_tile=256, max_tiles_per_gaussian=64,
+              rolling_shutter_time=0.03)
+    fused = rasterize.rasterize_fused(
+        proj, colors, opac, w, h, bg, eps=eps, impl="jnp", chunk=16, **kw
+    )
+    assert fused.rgb.shape == (3, h, w, 3)
+    for i in range(eps.shape[0]):
+        shifted = proj._replace(means2d=proj.means2d + proj.pix_vels * eps[i])
+        out = rasterize.rasterize(
+            shifted, colors, opac, w, h, bg, impl="jnp", chunk=16, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.rgb[i]), np.asarray(out.rgb), atol=1e-4,
+            err_msg=f"sample {i}",
+        )
+
+
+def test_fused_pallas_matches_fused_jnp():
+    proj, colors, opac, w, h = make_scene(seed=5)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    eps = jnp.array([-0.03, -0.01, 0.01, 0.03])
+    kw = dict(tile_size=8, max_per_tile=128, max_tiles_per_gaussian=16,
+              rolling_shutter_time=0.04)
+    out_j = rasterize.rasterize_fused(
+        proj, colors, opac, w, h, bg, eps=eps, impl="jnp", chunk=16, **kw
+    )
+    out_p = rasterize.rasterize_fused(
+        proj, colors, opac, w, h, bg, eps=eps, impl="pallas", **kw
+    )
+    np.testing.assert_allclose(np.asarray(out_p.rgb), np.asarray(out_j.rgb), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.alpha), np.asarray(out_j.alpha), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.depth), np.asarray(out_j.depth), atol=1e-3)
+
+
+def test_fused_pallas_gradients_match_jnp():
+    proj, colors, opac, w, h = make_scene(n=80, seed=6, img_w=24, img_h=16)
+    bg = jnp.array([0.5, 0.5, 0.5])
+    tgt = jnp.zeros((h, w, 3))
+    eps = jnp.array([-0.05, 0.0, 0.05])
+    kw = dict(tile_size=8, max_per_tile=128, max_tiles_per_gaussian=16)
+
+    def loss(impl, colors, opac, means2d, conics, pix_vels):
+        p = proj._replace(means2d=means2d, conics=conics, pix_vels=pix_vels)
+        out = rasterize.rasterize_fused(
+            p, colors, opac, w, h, bg, eps=eps, impl=impl, chunk=16,
+            rolling_shutter_time=0.05, **kw
+        )
+        rgb = out.rgb.mean(axis=0)  # linear-space blur average
+        return (jnp.mean((rgb - tgt) ** 2) + 0.1 * jnp.mean(out.alpha)
+                + 0.05 * jnp.mean(out.depth * out.alpha))
+
+    args = (colors, opac, proj.means2d, proj.conics, proj.pix_vels)
+    g_j = jax.grad(lambda *a: loss("jnp", *a), argnums=tuple(range(5)))(*args)
+    g_p = jax.grad(lambda *a: loss("pallas", *a), argnums=tuple(range(5)))(*args)
+    names = ["colors", "opac", "means2d", "conics", "pix_vels"]
+    for nm, gj, gp in zip(names, g_j, g_p):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gj), atol=2e-4, rtol=1e-3,
+            err_msg=f"fused grad mismatch: {nm}",
+        )
+        assert float(jnp.abs(gj).sum()) > 0, f"zero reference grad for {nm}"
