@@ -73,12 +73,14 @@ def _pixel_coords(tile_size: int, tx, ty, img_h: int, rs_time, row_offset, eps_s
     return px, py, t_row
 
 
-def _chunk_alpha(params_ref, px, py, t_row, base, count):
-    """Alpha matrix (npix, CHUNK) for one chunk + the (16, CHUNK) sub-block.
+def _chunk_alpha(params_ref, px, py, t_row, base, count, chunk=CHUNK):
+    """Alpha matrix (npix, chunk) for one chunk + the (16, chunk) sub-block.
 
     Loads the chunk directly from the VMEM ref (dynamic ref slices lower to
-    Mosaic; dynamic_slice on materialized values does not)."""
-    sub = params_ref[0, :, pl.ds(base, CHUNK)]   # (16, CHUNK)
+    Mosaic; dynamic_slice on materialized values does not). chunk is the lane
+    width of one compositing wave — wider chunks raise ILP in the serial
+    per-chunk dependency chain at the cost of coarser early-exit granularity."""
+    sub = params_ref[0, :, pl.ds(base, chunk)]   # (16, chunk)
     mx, my = sub[0:1], sub[1:2]          # (1, CHUNK)
     ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
     op = sub[8:9]
@@ -95,20 +97,19 @@ def _chunk_alpha(params_ref, px, py, t_row, base, count):
     return alpha, alpha_raw, mask, dx, dy, sub
 
 
-def _cumlog(alpha):
-    """Exclusive / inclusive cumulative log(1-alpha) along lanes via MXU."""
+def _cum_exc_log(alpha):
+    """Exclusive cumulative log(1-alpha) along lanes via MXU."""
     chunk = alpha.shape[1]
     s = jnp.log1p(-alpha)                              # (npix, CHUNK)
     r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     M = (r < c).astype(s.dtype)                        # strictly upper
-    cum_exc = jax.lax.dot_general(
+    return jax.lax.dot_general(
         s, M, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    return cum_exc, cum_exc + s
 
 
-def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tiles_x, img_h):
+def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tiles_x, img_h, chunk=CHUNK):
     t = pl.program_id(0)
     s = pl.program_id(1)
     count = counts_ref[t]
@@ -120,7 +121,7 @@ def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tile
     ty = (t // tiles_x) * tile_size
     px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, eps_s)
     k_max = params_ref.shape[2]
-    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, k_max // CHUNK)
+    n_chunks = jnp.minimum((count + chunk - 1) // chunk, k_max // chunk)
 
     def cond(carry):
         i, _, _, T = carry
@@ -128,20 +129,19 @@ def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tile
 
     def body(carry):
         i, rgb_acc, dep_acc, T = carry
-        base = i * CHUNK
-        alpha, _, _, _, _, sub = _chunk_alpha(params_ref, px, py, t_row, base, count)
-        cum_exc, cum_inc = _cumlog(alpha)
-        t_exc = T * jnp.exp(cum_exc)            # (npix, CHUNK)
-        t_inc = T * jnp.exp(cum_inc)
+        base = i * chunk
+        alpha, _, _, _, _, sub = _chunk_alpha(params_ref, px, py, t_row, base, count, chunk)
+        t_exc = T * jnp.exp(_cum_exc_log(alpha))  # (npix, CHUNK)
+        t_inc = t_exc * (1.0 - alpha)             # inclusive: one mul, no 2nd exp
         active = t_exc > T_EPS
         w = jnp.where(active, t_exc * alpha, 0.0)
 
-        cols = sub[5:8]                         # (3, CHUNK) colors
-        dep = sub[9:10]                         # (1, CHUNK)
-        rgb_acc = rgb_acc + jax.lax.dot_general(
-            w, cols, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                        # (npix, 3)
-        dep_acc = dep_acc + jnp.sum(w * dep, axis=1, keepdims=True)
+        cols4 = jnp.concatenate([sub[5:8], sub[9:10]], axis=0)  # rgb+depth rows
+        acc = jax.lax.dot_general(
+            w, cols4, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                        # (npix, 4) — N-dim pads to the
+        rgb_acc = rgb_acc + acc[:, 0:3]          # same MXU tile as 3, so the
+        dep_acc = dep_acc + acc[:, 3:4]          # depth column rides free
         T = jnp.min(jnp.where(active, t_inc, T), axis=1, keepdims=True)
         return i + 1, rgb_acc, dep_acc, T
 
@@ -161,7 +161,7 @@ def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tile
 
 def _bwd_kernel(
     counts_ref, scalars_ref, params_ref, fwd_out_ref, g_out_ref, d_params_ref,
-    *, tile_size, tiles_x, img_h,
+    *, tile_size, tiles_x, img_h, chunk=CHUNK,
 ):
     t = pl.program_id(0)
     s = pl.program_id(1)
@@ -174,7 +174,7 @@ def _bwd_kernel(
     ty = (t // tiles_x) * tile_size
     px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, eps_s)
     k_max = params_ref.shape[2]
-    n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, k_max // CHUNK)
+    n_chunks = jnp.minimum((count + chunk - 1) // chunk, k_max // chunk)
 
     fwd = fwd_out_ref[0, 0]                     # (8, npix)
     g = g_out_ref[0, 0]                         # (8, npix)
@@ -189,6 +189,7 @@ def _bwd_kernel(
     A_total = (
         jnp.sum(rgb_out * dC, axis=1, keepdims=True) + dep_out * dD + T_final * dT
     )
+    G4 = jnp.concatenate([dC, dD], axis=1)      # (npix, 4) rgb+depth cotangents
 
     # One d_params block per tile, accumulated across the S blur samples (the
     # block index_map ignores s, so Mosaic keeps it resident in VMEM).
@@ -202,13 +203,12 @@ def _bwd_kernel(
 
     def body(carry):
         i, prefix, T = carry
-        base = i * CHUNK
+        base = i * chunk
         alpha, alpha_raw, mask, dx, dy, sub = _chunk_alpha(
-            params_ref, px, py, t_row, base, count
+            params_ref, px, py, t_row, base, count, chunk
         )
-        cum_exc, cum_inc = _cumlog(alpha)
-        t_exc = T * jnp.exp(cum_exc)
-        t_inc = T * jnp.exp(cum_inc)
+        t_exc = T * jnp.exp(_cum_exc_log(alpha))
+        t_inc = t_exc * (1.0 - alpha)
         active = t_exc > T_EPS
         w = jnp.where(active, t_exc * alpha, 0.0)   # (npix, CHUNK)
 
@@ -223,7 +223,6 @@ def _bwd_kernel(
 
         contrib = w * v                              # (npix, CHUNK)
         # prefix including this chunk, per position (inclusive within chunk)
-        chunk = alpha.shape[1]
         r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
         c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
         Minc = (r <= c).astype(contrib.dtype)
@@ -252,17 +251,18 @@ def _bwd_kernel(
         d_my = -jnp.sum(d_dy, axis=0, keepdims=True)
         d_pvx = -jnp.sum(d_dx * t_row, axis=0, keepdims=True)
         d_pvy = -jnp.sum(d_dy * t_row, axis=0, keepdims=True)
-        d_cols = jax.lax.dot_general(
-            dC, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )                                            # (3, CHUNK)
-        d_dep = jnp.sum(w * dD, axis=0, keepdims=True)
+        dcd = jax.lax.dot_general(
+            G4, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                            # (4, CHUNK): colors+depth
+        d_cols = dcd[0:3]
+        d_dep = dcd[3:4]
 
         grads = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_cols, d_op, d_dep, d_pvx, d_pvy,
              jnp.zeros((NPARAM - 12, chunk), jnp.float32)],
             axis=0,
         )                                            # (16, CHUNK)
-        d_params_ref[0, :, pl.ds(base, CHUNK)] += grads
+        d_params_ref[0, :, pl.ds(base, chunk)] += grads
 
         prefix = prefix_inc[:, -1:]
         T = jnp.min(jnp.where(active, t_inc, T), axis=1, keepdims=True)
@@ -291,7 +291,7 @@ def _scalar_vec(rs_time, row_offset, eps):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_size", "tiles_x", "img_h")
+    jax.jit, static_argnames=("tile_size", "tiles_x", "img_h", "chunk_width")
 )
 def rasterize_fwd_packed(
     params_packed: jax.Array,   # (T, 16, K)
@@ -302,12 +302,15 @@ def rasterize_fwd_packed(
     img_h: int,                 # FULL image height (rolling-shutter norm)
     row_offset: jax.Array | float = 0.0,
     eps: jax.Array | None = None,  # (S,) blur sample times; None -> S=1, t=0
+    chunk_width: int = CHUNK,
 ) -> jax.Array:                 # (T, S, 8, npix)
     n_tiles, _, k = params_packed.shape
+    assert k % chunk_width == 0, (k, chunk_width)
     n_samples = 1 if eps is None else eps.shape[0]
     npix = tile_size * tile_size
     kernel = functools.partial(
-        _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h
+        _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
+        chunk=chunk_width,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -335,7 +338,7 @@ def rasterize_fwd_packed(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_size", "tiles_x", "img_h")
+    jax.jit, static_argnames=("tile_size", "tiles_x", "img_h", "chunk_width")
 )
 def rasterize_bwd_packed(
     params_packed: jax.Array,   # (T, 16, K)
@@ -348,12 +351,15 @@ def rasterize_bwd_packed(
     img_h: int,
     row_offset: jax.Array | float = 0.0,
     eps: jax.Array | None = None,  # (S,) blur sample times
+    chunk_width: int = CHUNK,
 ) -> jax.Array:                 # (T, 16, K), summed over samples
     n_tiles, _, k = params_packed.shape
+    assert k % chunk_width == 0, (k, chunk_width)
     n_samples = fwd_out.shape[1]
     npix = tile_size * tile_size
     kernel = functools.partial(
-        _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h
+        _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
+        chunk=chunk_width,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

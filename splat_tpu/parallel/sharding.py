@@ -4,16 +4,25 @@ The reference is strictly single-GPU (SURVEY.md §2d); distribution here is a
 new first-class layer designed for TPU meshes (BASELINE.json north star):
 
   mesh axes:
+    'gauss' — ZeRO-style parameter sharding for large scenes: Gaussian params
+             (and their Adam state) live sharded along the capacity axis; each
+             device projects/SH-evaluates only its shard, then the packed
+             16-float-per-gaussian RASTERIZATION table is all-gathered over
+             the axis (for 10M gaussians that is 640 MB over ICI, ~0.4 ms —
+             vs 7+ GB of params+optimizer state that never leave the shard).
+             The gradient transpose of the all-gather is a reduce-scatter, so
+             parameter grads land pre-sharded. Requires blur_mode="fused"
+             (one projection per frame).
     'blur' — the blur-sample axis: the S sub-frame renders of one exposure are
              independent until the final average (embarrassingly parallel);
     'tile' — spatial axis: the image is sharded into row strips; each device
              bins and composites only its own strip's tiles (the multi-chip
              analogue of the CUDA tile grid).
 
-  Gaussian parameters are REPLICATED (scenes fit one chip's HBM; per-tile
-  gather keeps arithmetic local); their gradients are all-reduced by the psum
-  that jax.shard_map's autodiff inserts for replicated inputs — overlapped
-  with the backward pass by XLA. Velocity/pose params likewise replicated.
+  With gauss=1 (small scenes) parameters are replicated; their gradients are
+  all-reduced by the psum that jax.shard_map's autodiff inserts for replicated
+  inputs — overlapped with the backward pass by XLA. Velocity/pose params are
+  always replicated (tiny).
 
 Semantics notes:
   * rolling shutter uses GLOBAL scanline times (rs_row_offset plumbing in
@@ -40,15 +49,34 @@ from ..ops import projection, rasterize, se3
 from ..ops.ssim import ssim as ssim_fn
 
 
-def make_mesh(n_blur: int, n_tile: int, devices=None) -> Mesh:
+def make_mesh(n_blur: int, n_tile: int, devices=None, n_gauss: int = 1) -> Mesh:
     import numpy as np
 
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= n_blur * n_tile, (
-        f"need {n_blur * n_tile} devices, have {len(devices)}"
-    )
-    devs = np.asarray(devices[: n_blur * n_tile]).reshape(n_blur, n_tile)
+    need = n_blur * n_tile * n_gauss
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    if n_gauss > 1:
+        devs = np.asarray(devices[:need]).reshape(n_gauss, n_blur, n_tile)
+        return Mesh(devs, ("gauss", "blur", "tile"))
+    devs = np.asarray(devices[:need]).reshape(n_blur, n_tile)
     return Mesh(devs, ("blur", "tile"))
+
+
+def param_specs(mesh: Mesh) -> "sf.ModelParams":
+    """PartitionSpec pytree for ModelParams on this mesh.
+
+    Gaussian leaves shard their leading (capacity) axis over 'gauss' when the
+    mesh has one; camera/velocity/background params are always replicated."""
+    gauss = P("gauss") if "gauss" in mesh.shape else P()
+    g = sf.GaussianParams(
+        means=gauss, scales_log=gauss, quats=gauss, opacities_logit=gauss,
+        features_dc=gauss, features_rest=gauss, alive=gauss,
+    )
+    # P() entries act as pytree prefixes for the dict-valued optimizer leaves.
+    return sf.ModelParams(
+        gaussians=g, background_logit=P(), camera_opt=P(), velocity_opt=P(),
+        eval_camera_opt=P(), eval_velocity_opt=P(),
+    )
 
 
 def _render_strip_linear(
@@ -61,6 +89,7 @@ def _render_strip_linear(
     row0,
     eps_local: jax.Array,
     means2d_probe: jax.Array | None = None,
+    gauss_axis: str | None = None,
 ):
     """Linear-space rgb sum over the local blur sub-frames for one row strip.
 
@@ -121,15 +150,26 @@ def _render_strip_linear(
             proj, colors, opac, w, strip_h, background, **raster_kw
         ).rgb
 
-    if config.blur_mode == "fused" and config.blur_samples > 1:
+    fused_path = (config.blur_mode == "fused" and config.blur_samples > 1)
+    if fused_path or gauss_axis is not None:
         # Fused exposure (models.splatfacto blur_mode="fused"): one projection
         # and binning at mid-exposure per device; the kernels render this
         # device's eps subset via the screen-space velocity warp. Applies even
         # when this shard holds a single sample (n_blur == S), so semantics
         # match the single-device fused path exactly (same warp, mid pose).
+        # Gaussian-sharded meshes always take this path: each device projects
+        # its parameter shard, then the packed rasterization table is
+        # all-gathered (its autodiff transpose reduce-scatters the grads back
+        # to the shards).
         proj, colors = subframe_inputs(jnp.zeros(()))
+        local_opac = opac
+        if gauss_axis is not None:
+            proj, colors, local_opac = _all_gather_projected(
+                proj, colors, opac, gauss_axis
+            )
         out = rasterize.rasterize_fused(
-            proj, colors, opac, w, strip_h, background, eps=eps_local, **raster_kw
+            proj, colors, local_opac, w, strip_h, background, eps=eps_local,
+            **raster_kw
         )
         return out.rgb.sum(axis=0), eps_local.shape[0]
     if eps_local.shape[0] == 1:
@@ -137,6 +177,39 @@ def _render_strip_linear(
     # exact mode — lax.map compiles the sub-frame body once (see models note)
     rgbs = jax.lax.map(render_subframe, eps_local)   # (S_local, strip_h, W, 3)
     return rgbs.sum(axis=0), eps_local.shape[0]
+
+
+def _all_gather_projected(
+    proj: "projection.ProjectedGaussians",
+    colors: jax.Array,
+    opacities: jax.Array,
+    axis: str,
+) -> tuple["projection.ProjectedGaussians", jax.Array, jax.Array]:
+    """Gather each shard's packed rasterization table into the full cloud.
+
+    Only the 16 floats the rasterizer consumes cross the interconnect (means2d,
+    conic, rgb, effective opacity, depth, pixel velocity) plus the 2-float tile
+    footprint — parameters and optimizer state stay sharded (ZeRO-style). The
+    transpose of the all-gather is a reduce-scatter of the table cotangent.
+    """
+    from ..ops.pallas import pack_param_table
+
+    table = pack_param_table(proj, colors, opacities)[:-1]   # (N_loc, 16)
+    table_g = jax.lax.all_gather(table, axis, tiled=True)    # (N, 16)
+    ext_g = jax.lax.all_gather(proj.extents, axis, tiled=True)  # (N, 2)
+
+    op_eff = table_g[:, 8]
+    synth = projection.ProjectedGaussians(
+        means2d=table_g[:, 0:2],
+        depths=table_g[:, 9],
+        conics=table_g[:, 2:5],
+        radii=jnp.max(ext_g, axis=-1),
+        compensations=jnp.ones_like(op_eff),   # already folded into op_eff
+        pix_vels=table_g[:, 10:12],
+        valid=jnp.ones_like(op_eff, dtype=bool),  # culled -> extents 0, op 0
+        extents=ext_g,
+    )
+    return synth, table_g[:, 5:8], op_eff
 
 
 def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool = False):
@@ -147,6 +220,13 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
     """
     n_blur = mesh.shape["blur"]
     n_tile = mesh.shape["tile"]
+    gauss_axis = "gauss" if "gauss" in mesh.shape else None
+    if gauss_axis is not None and config.blur_mode != "fused" and config.blur_samples > 1:
+        raise ValueError(
+            "gauss-sharded meshes require blur_mode='fused' (one projection "
+            "per frame; exact per-sub-frame reprojection would re-gather the "
+            "table per sample)"
+        )
     s_total = max(config.blur_samples, 1)
     assert s_total % n_blur == 0, (
         f"blur_samples={s_total} must divide mesh blur axis {n_blur}"
@@ -175,6 +255,7 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
         rgb_sum, _ = _render_strip_linear(
             params, camera, config, sh_deg, bg, strip_h, row0, eps_local,
             means2d_probe=probe if with_probe else None,
+            gauss_axis=gauss_axis,
         )
         # mean over ALL sub-frames: psum over the blur axis
         rgb_mean = jax.lax.psum(rgb_sum, "blur") / s_total
@@ -196,16 +277,22 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
             ratio = s.max(axis=-1) / jnp.maximum(s.min(axis=-1), 1e-12)
             excess = jnp.maximum(ratio, config.max_gauss_ratio) - config.max_gauss_ratio
             alive = jax.lax.stop_gradient(g.alive)
-            loss = loss + config.scale_reg_weight * (
-                (excess * alive).sum() / jnp.maximum(alive.sum(), 1.0)
-            )
+            num = (excess * alive).sum()
+            den = alive.sum()
+            if gauss_axis is not None:
+                # gaussian leaves are shards: reduce the regularizer globally
+                num = jax.lax.psum(num, gauss_axis)
+                den = jax.lax.psum(den, gauss_axis)
+            loss = loss + config.scale_reg_weight * (num / jnp.maximum(den, 1.0))
         loss = loss + cam_opt.camera_opt_penalty(params.camera_opt, config.camera_optimizer)
         return loss
 
+    p_spec = param_specs(mesh)
+    probe_spec = P(gauss_axis) if gauss_axis is not None else P()
     return jax.shard_map(
         local_loss,
         mesh=mesh,
-        in_specs=(P(), P(), P("tile", None, None), P()),
+        in_specs=(p_spec, P(), P("tile", None, None), probe_spec),
         out_specs=P(),
         check_vma=False,
     )

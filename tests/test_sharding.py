@@ -110,3 +110,37 @@ def test_sharded_train_step_runs():
     assert np.isfinite(float(loss))
     # params actually moved
     assert float(jnp.abs(p2.gaussians.means - params.gaussians.means).sum()) > 0
+
+
+@pytest.mark.parametrize("n_gauss,n_blur,n_tile", [(2, 2, 2), (4, 1, 2), (8, 1, 1)])
+def test_gauss_sharded_loss_matches_single_device(n_gauss, n_blur, n_tile):
+    """ZeRO-style gaussian sharding: per-shard projection + table all-gather
+    must reproduce the single-device fused loss exactly (capacity 64 divides
+    every gauss axis)."""
+    params, cfg, cam, gt = make_setup(n=60)  # capacity pads to 64
+    assert params.gaussians.means.shape[0] % n_gauss == 0
+    mesh = sharding.make_mesh(n_blur, n_tile, n_gauss=n_gauss)
+    assert "gauss" in mesh.shape
+    loss_fn = sharding.make_sharded_loss(cfg, mesh, with_probe=False)
+    probe = jnp.zeros_like(params.gaussians.means[:, :2])
+    sharded = float(jax.jit(loss_fn)(params, cam, gt, probe))
+    single = float(single_device_loss(params, cfg, cam, gt))
+    if n_tile == 1:
+        np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+    else:
+        np.testing.assert_allclose(sharded, single, rtol=0.05, atol=0.01)
+
+
+def test_gauss_sharded_grads_match_single_device():
+    params, cfg, cam, gt = make_setup(n=60)
+    cfg = dataclasses.replace(cfg, ssim_lambda=0.0)
+    mesh = sharding.make_mesh(1, 2, n_gauss=4)
+    loss_fn = sharding.make_sharded_loss(cfg, mesh, with_probe=True)
+    probe = jnp.zeros_like(params.gaussians.means[:, :2])
+    g_sh, gp = jax.jit(
+        jax.grad(lambda p, pr: loss_fn(p, cam, gt, pr), argnums=(0, 1))
+    )(params, probe)
+    g_si = jax.jit(jax.grad(lambda p: single_device_loss(p, cfg, cam, gt)))(params)
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_si)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
+    assert float(jnp.abs(gp).sum()) > 0  # probe grads flow through the gather
