@@ -62,6 +62,60 @@ def make_mesh(n_blur: int, n_tile: int, devices=None, n_gauss: int = 1) -> Mesh:
     return Mesh(devs, ("blur", "tile"))
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize multi-host JAX (one process per host, TPU pod slices).
+
+    No-op when already initialized or single-process. On Cloud TPU the
+    arguments are auto-detected from the metadata server."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-host
+
+
+def make_multihost_mesh(
+    n_blur: int = 1,
+    n_tile: int = 1,
+    n_gauss: int = 1,
+    n_data: int | None = None,
+) -> Mesh:
+    """Global mesh across hosts: 'data' (camera batch) spans hosts over DCN —
+    it communicates only once per step (the parameter-gradient psum) — while
+    gauss/blur/tile ride ICI within each host's slice (their collectives move
+    per-frame tensors: table all-gathers and rgb/loss psums).
+
+    n_data defaults to whatever device count remains after the ICI axes.
+    """
+    from jax.experimental import mesh_utils
+
+    n_dev = jax.device_count()
+    ici = n_gauss * n_blur * n_tile
+    assert n_dev % ici == 0, f"{n_dev} devices not divisible by ici axes {ici}"
+    if n_data is None:
+        n_data = n_dev // ici
+    shape = (n_data, n_gauss, n_blur, n_tile)
+    if jax.process_count() > 1:
+        per_host = n_dev // jax.process_count()
+        assert ici <= per_host and per_host % ici == 0, (
+            f"ici axes ({ici}) must fit within one host ({per_host} devices)"
+        )
+        devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, n_gauss, n_blur, n_tile),
+            dcn_mesh_shape=(n_data, 1, 1, 1),
+        )
+    else:
+        devs = mesh_utils.create_device_mesh(shape)
+    return Mesh(devs, ("data", "gauss", "blur", "tile"))
+
+
 def param_specs(mesh: Mesh) -> "sf.ModelParams":
     """PartitionSpec pytree for ModelParams on this mesh.
 
@@ -221,6 +275,7 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
     n_blur = mesh.shape["blur"]
     n_tile = mesh.shape["tile"]
     gauss_axis = "gauss" if "gauss" in mesh.shape else None
+    data_axis = "data" if "data" in mesh.shape else None
     if gauss_axis is not None and config.blur_mode != "fused" and config.blur_samples > 1:
         raise ValueError(
             "gauss-sharded meshes require blur_mode='fused' (one projection "
@@ -234,6 +289,10 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
     s_local = s_total // n_blur
 
     def local_loss(params, camera, gt_strip, probe):
+        if data_axis is not None:
+            # camera arrives as this device's slice of the camera batch
+            # (B_local=1); gt_strip as (1, strip_h, W, 3).
+            gt_strip = gt_strip[0]
         full_h = camera.height
         assert full_h % n_tile == 0, "image height must divide tile axis"
         strip_h = full_h // n_tile
@@ -270,6 +329,11 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
         # blur axis already reduced into rgb_mean; average the identical
         # replicas so the value stays replicated for out_specs=P()
         loss = jax.lax.pmean(loss, "blur")
+        if data_axis is not None:
+            # camera-batch data parallelism: mean of per-camera losses; its
+            # grad transpose all-reduces parameter grads once per step (the
+            # only DCN-crossing collective on multi-host meshes).
+            loss = jax.lax.pmean(loss, data_axis)
 
         if config.use_scale_regularization:
             g = params.gaussians
@@ -289,10 +353,13 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
 
     p_spec = param_specs(mesh)
     probe_spec = P(gauss_axis) if gauss_axis is not None else P()
+    cam_spec = P(data_axis) if data_axis is not None else P()
+    gt_spec = (P(data_axis, "tile", None, None) if data_axis is not None
+               else P("tile", None, None))
     return jax.shard_map(
         local_loss,
         mesh=mesh,
-        in_specs=(p_spec, P(), P("tile", None, None), probe_spec),
+        in_specs=(p_spec, cam_spec, gt_spec, probe_spec),
         out_specs=P(),
         check_vma=False,
     )

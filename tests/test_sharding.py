@@ -144,3 +144,31 @@ def test_gauss_sharded_grads_match_single_device():
     for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_si)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
     assert float(jnp.abs(gp).sum()) > 0  # probe grads flow through the gather
+
+
+def test_data_axis_camera_batch_matches_mean_of_singles():
+    """'data' axis (multi-host DCN axis): a batch of B cameras trains in one
+    step; the loss is the mean of per-camera losses."""
+    params, cfg, cam1, gt1 = make_setup(seed=0)
+    _, _, _, gt2 = make_setup(seed=7)
+    # second camera: different pose/velocity and cam_idx
+    cam2 = Cameras(
+        cam1.R_c2w, cam1.p_c2w + jnp.array([[0.1, -0.05, 0.2]]),
+        cam1.fx, cam1.fy, cam1.cx, cam1.cy, cam1.width, cam1.height,
+        lin_vel=jnp.array([[0.1, 0.3, 0.0]]), ang_vel=jnp.array([[0.05, 0.0, 0.1]]),
+        exposure_time=cam1.exposure_time, rolling_shutter_time=cam1.rolling_shutter_time,
+        cam_idx=jnp.ones((1,), jnp.int32))
+    batch_cam = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), cam1, cam2)
+    batch_gt = jnp.stack([gt1, gt2], axis=0)
+
+    mesh = sharding.make_multihost_mesh(n_blur=2, n_tile=2, n_gauss=1, n_data=2)
+    assert mesh.shape["data"] == 2
+    loss_fn = sharding.make_sharded_loss(cfg, mesh, with_probe=False)
+    probe = jnp.zeros_like(params.gaussians.means[:, :2])
+    batched = float(jax.jit(loss_fn)(params, batch_cam, batch_gt, probe))
+
+    mesh1 = sharding.make_mesh(2, 2)
+    loss1_fn = sharding.make_sharded_loss(cfg, mesh1, with_probe=False)
+    a = float(jax.jit(loss1_fn)(params, cam1, gt1, probe))
+    b = float(jax.jit(loss1_fn)(params, cam2, gt2, probe))
+    np.testing.assert_allclose(batched, (a + b) / 2, rtol=2e-5, atol=1e-6)
