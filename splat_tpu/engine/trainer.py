@@ -55,6 +55,10 @@ class TrainerConfig:
     max_capacity: int = 1 << 21
     checkpoint_every: int = 5000
     log_every: int = 100
+    # host<->device sync cadence: block on results only every k steps so step
+    # dispatch pipelines (a per-step sync costs a full host round-trip — ~50 ms
+    # over this box's TPU tunnel; step_ms percentiles aggregate whole windows)
+    sync_every: int = 10
 
 
 def param_labels(params: sf.ModelParams) -> Any:
@@ -322,7 +326,12 @@ class Trainer:
                 self.params, self.opt_state, self.strat_state, cam, gt,
                 jnp.asarray(self.step), k,
             )
-            jax.block_until_ready(loss)
+            if (
+                (self.step + 1) % tc.sync_every == 0
+                or self.step + 1 == steps
+                or (self.step + 1) % cfg.refine_every == 0
+            ):
+                jax.block_until_ready(loss)
             self.timer.stop()
 
             # eval-camera optimization (scene frozen)

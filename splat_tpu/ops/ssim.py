@@ -34,13 +34,21 @@ def ssim(
 
     def blur(img):  # separable gaussian filter, valid padding
         # (H, W, C): filter rows then cols via conv on each axis.
-        v = jnp.apply_along_axis  # noqa: F841 (doc: conceptually per-axis)
+        # precision HIGHEST: on TPU the default lowers the convolution to
+        # bf16 MXU passes, and the ~1e-3 rounding in blur(x^2) overwhelms the
+        # true window variance (blur(x^2) - mu^2 cancels to ~1e-6), driving
+        # the SSIM denominator through zero — observed SSIM of 26 on real
+        # renders. CPU runs were exact, so only TPU was affected.
         img_t = jnp.moveaxis(img, -1, 0)  # (C, H, W)
         def conv1d(a, axis):
             a = jnp.moveaxis(a, axis, -1)
             pad_shape = a.shape[:-1]
             a2 = a.reshape(-1, a.shape[-1])
-            out = jax.vmap(lambda row: jnp.convolve(row, w, mode="valid"))(a2)
+            out = jax.vmap(
+                lambda row: jnp.convolve(
+                    row, w, mode="valid", precision=jax.lax.Precision.HIGHEST
+                )
+            )(a2)
             out = out.reshape(pad_shape + (out.shape[-1],))
             return jnp.moveaxis(out, -1, axis)
         out = conv1d(conv1d(img_t, 1), 2)
@@ -48,8 +56,10 @@ def ssim(
 
     mu0, mu1 = blur(img0), blur(img1)
     mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
-    s00 = blur(img0 * img0) - mu00
-    s11 = blur(img1 * img1) - mu11
+    # clamp tiny negative fp-noise variances so the stabilized denominator
+    # stays >= c1*c2 (true variances are nonnegative)
+    s00 = jnp.maximum(blur(img0 * img0) - mu00, 0.0)
+    s11 = jnp.maximum(blur(img1 * img1) - mu11, 0.0)
     s01 = blur(img0 * img1) - mu01
 
     c1 = (k1 * data_range) ** 2

@@ -203,3 +203,18 @@ def test_fused_blur_mode_approximates_exact(model):
     out_1 = sf.render_camera(
         params, cam, dataclasses.replace(cfg, blur_samples=1), 1, jnp.zeros(3))
     assert float(jnp.abs(out_f.rgb - out_1.rgb).max()) > 1e-3
+
+
+def test_ssim_bounds_and_identity():
+    from splat_tpu.ops.ssim import ssim
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(48, 48, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(48, 48, 3)), jnp.float32)
+    # identical images -> 1
+    np.testing.assert_allclose(float(ssim(a, a)), 1.0, atol=1e-5)
+    # SSIM is bounded: |SSIM| <= 1 (+ fp slack); smooth near-constant images
+    # must not blow up the stabilized denominator
+    smooth = jnp.full((48, 48, 3), 0.5) + 1e-4 * a
+    for x, y in [(a, b), (smooth, a), (smooth, smooth * 1.001)]:
+        v = float(ssim(x, y))
+        assert -1.001 <= v <= 1.001, v
