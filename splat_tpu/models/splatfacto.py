@@ -335,7 +335,9 @@ def sh_eval_switch(
         [int(np.floor(np.sqrt(i))) for i in range(basis.shape[-1])], dtype=jnp.int32
     )
     mask = bands <= jnp.asarray(degree_active)
-    out = jnp.einsum("nk,nkc->nc", basis * mask[None, :], coeffs)
+    out = jnp.einsum("nk,nkc->nc", basis * mask[None, :], coeffs,
+                     precision=jax.lax.Precision.HIGHEST)  # bf16 default would
+    # round view-dependent colors by ~0.4% on TPU (cf. the SSIM precision bug)
     return jnp.maximum(out + 0.5, 0.0)
 
 

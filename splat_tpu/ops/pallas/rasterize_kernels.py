@@ -56,6 +56,19 @@ CHUNK = 128
 NPARAM = 16
 NOUT = 8
 
+# Compositing matmul precision. On TPU, DEFAULT lowers dot inputs to bf16,
+# HIGHEST emulates true f32 (~14% slower end-to-end). Measured on the bench
+# scene: bf16 compositing differs from f32 by at most one 8-bit display LSB
+# (PSNR 65 dB between the two) — far beyond splatting training targets — so
+# DEFAULT is the default. Override via SPLAT_TPU_MM_PRECISION=highest for
+# numerics studies.
+import os as _os
+_MM_PRECISION = (
+    jax.lax.Precision.HIGHEST
+    if _os.environ.get("SPLAT_TPU_MM_PRECISION", "default").lower() == "highest"
+    else jax.lax.Precision.DEFAULT
+)
+
 
 def _pixel_coords(tile_size: int, tx, ty, img_h: int, rs_time, row_offset, eps_s,
                   dtype=jnp.float32):
@@ -138,7 +151,8 @@ def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tile
 
         cols4 = jnp.concatenate([sub[5:8], sub[9:10]], axis=0)  # rgb+depth rows
         acc = jax.lax.dot_general(
-            w, cols4, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            w, cols4, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_MM_PRECISION,
         )                                        # (npix, 4) — N-dim pads to the
         rgb_acc = rgb_acc + acc[:, 0:3]          # same MXU tile as 3, so the
         dep_acc = dep_acc + acc[:, 3:4]          # depth column rides free
@@ -218,7 +232,8 @@ def _bwd_kernel(
 
         # per-gaussian-and-pixel loss sensitivity v_i = c_i.dC + d_i dD
         v = jax.lax.dot_general(
-            dC, cols, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            dC, cols, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_MM_PRECISION,
         ) + dD * dep                                 # (npix, CHUNK)
 
         contrib = w * v                              # (npix, CHUNK)
@@ -229,6 +244,7 @@ def _bwd_kernel(
         prefix_inc = prefix + jax.lax.dot_general(
             contrib, Minc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_MM_PRECISION,
         )                                            # (npix, CHUNK)
         S = A_total - prefix_inc                     # suffix incl. T_final*dT
 
@@ -252,7 +268,8 @@ def _bwd_kernel(
         d_pvx = -jnp.sum(d_dx * t_row, axis=0, keepdims=True)
         d_pvy = -jnp.sum(d_dy * t_row, axis=0, keepdims=True)
         dcd = jax.lax.dot_general(
-            G4, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            G4, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_MM_PRECISION,
         )                                            # (4, CHUNK): colors+depth
         d_cols = dcd[0:3]
         d_dep = dcd[3:4]

@@ -72,7 +72,8 @@ def spherical_harmonics(degree: int, dirs: jax.Array, coeffs: jax.Array) -> jax.
     """
     basis = eval_sh_basis(degree, dirs)  # (..., B)
     B = basis.shape[-1]
-    return jnp.einsum("...k,...kc->...c", basis, coeffs[..., :B, :])
+    return jnp.einsum("...k,...kc->...c", basis, coeffs[..., :B, :],
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def sh_to_rgb(degree: int, dirs: jax.Array, coeffs: jax.Array) -> jax.Array:
