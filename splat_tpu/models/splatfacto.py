@@ -77,12 +77,14 @@ class SplatfactoConfig:
     cull_scale_thresh: float = 0.5
     reset_alpha_every: int = 30                # x refine_every steps
     n_split_samples: int = 2
-    # --- rasterizer knobs ---
+    # --- rasterizer knobs (TPU-tuned; see PARITY.md perf notes) ---
     tile_size: int = 16
-    max_per_tile: int = 512
-    max_tiles_per_gaussian: int = 64
+    max_per_tile: int = 256                    # per-tile depth-list capacity
+    max_tiles_per_gaussian: int = 16           # footprint cap (span^2 tiles)
     chunk: int = 32
-    impl: str = "jnp"                          # jnp | pallas
+    # auto -> pallas kernels on TPU, jnp tile path elsewhere (pallas interpret
+    # mode on CPU is far slower than the vmapped jnp path)
+    impl: str = "auto"                         # auto | jnp | pallas
     # --- capacity ---
     initial_capacity: int = 0                  # 0 = auto from seed points
 
@@ -205,6 +207,12 @@ def background_color(
     return jnp.zeros(3)
 
 
+def resolve_impl(impl: str) -> str:
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return impl
+
+
 def blur_sample_times(camera_exposure: jax.Array, config: SplatfactoConfig) -> jax.Array:
     """epsilon_s: `blur_samples` points spanning [-T_exp/2, +T_exp/2] (App. B.1)."""
     s = max(config.blur_samples, 1)
@@ -291,7 +299,7 @@ def render_camera(
             max_per_tile=config.max_per_tile,
             max_tiles_per_gaussian=config.max_tiles_per_gaussian,
             chunk=config.chunk,
-            impl=config.impl,
+            impl=resolve_impl(config.impl),
         )
 
     if eps.shape[0] == 1:
@@ -309,7 +317,7 @@ def render_camera(
             max_per_tile=config.max_per_tile,
             max_tiles_per_gaussian=config.max_tiles_per_gaussian,
             chunk=config.chunk,
-            impl=config.impl,
+            impl=resolve_impl(config.impl),
         )
     else:
         # Exact per-sub-frame reprojection (reference semantics). lax.map

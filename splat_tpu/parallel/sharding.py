@@ -193,7 +193,7 @@ def _render_strip_linear(
         max_per_tile=config.max_per_tile,
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
         chunk=config.chunk,
-        impl=config.impl,
+        impl=sf.resolve_impl(config.impl),
         rs_full_height=full_h,
         rs_row_offset=row0,
     )
