@@ -207,10 +207,11 @@ def rasterize(
     # Rolling-shutter screen motion: pad the binning radius by the max |shift|.
     radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * jnp.abs(rs) * 0.5
 
+    op_eff = opacities * proj.compensations * proj.valid.astype(colors.dtype)
     lists = tiling.build_tile_lists(
         proj.means2d, proj.extents, proj.depths, proj.valid,
         img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
-        radius_pad=radius_pad,
+        radius_pad=radius_pad, conics=proj.conics, opacities=op_eff,
     )
 
     if impl == "jnp":
@@ -283,10 +284,11 @@ def rasterize_fused(
     t_max = jnp.max(jnp.abs(eps)) + 0.5 * jnp.abs(rs)
     radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * t_max
 
+    op_eff = opacities * proj.compensations * proj.valid.astype(colors.dtype)
     lists = tiling.build_tile_lists(
         proj.means2d, proj.extents, proj.depths, proj.valid,
         img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
-        radius_pad=radius_pad,
+        radius_pad=radius_pad, conics=proj.conics, opacities=op_eff,
     )
 
     if impl == "jnp":

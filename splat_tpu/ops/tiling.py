@@ -33,6 +33,31 @@ import jax.numpy as jnp
 TILE_SENTINEL = jnp.int32(2**30)
 
 
+def _sigma_min_on_rect(lx, hx, ly, hy, ca, cb, cc):
+    """Min of sigma(d) = ca/2 dx^2 + cb dx dy + cc/2 dy^2 over the box
+    [lx,hx]x[ly,hy] (coords relative to the Gaussian mean).
+
+    The unconstrained minimum is 0 at the origin; when the origin is outside
+    the box the constrained minimum lies on the boundary, so evaluate the four
+    edges (1-D quadratics with closed-form clamped minimizers)."""
+    def sig(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+    vals = []
+    for d in (lx, hx):                       # vertical edges: dx = d
+        dy = jnp.clip(-(cb / cc_s) * d, ly, hy)
+        vals.append(sig(d, dy))
+    for e in (ly, hy):                       # horizontal edges: dy = e
+        dx = jnp.clip(-(cb / ca_s) * e, lx, hx)
+        vals.append(sig(dx, e))
+    edge_min = jnp.minimum(jnp.minimum(vals[0], vals[1]),
+                           jnp.minimum(vals[2], vals[3]))
+    inside = (lx <= 0) & (0 <= hx) & (ly <= 0) & (0 <= hy)
+    return jnp.where(inside, 0.0, edge_min)
+
+
 class TileRects(NamedTuple):
     x0: jax.Array  # (N,) inclusive tile coords
     y0: jax.Array
@@ -121,8 +146,20 @@ def build_tile_lists(
     max_per_tile: int = 512,
     max_tiles_per_gaussian: int = 64,
     radius_pad: jax.Array | None = None,
+    conics: jax.Array | None = None,
+    opacities: jax.Array | None = None,
+    alpha_thresh: float = 1.0 / 255.0,
 ) -> TileLists:
-    """Build dense per-tile, depth-sorted Gaussian index lists."""
+    """Build dense per-tile, depth-sorted Gaussian index lists.
+
+    conics/opacities (effective, i.e. compensation folded in): when given,
+    candidate (gaussian, tile) entries are EXACTLY culled by the peak alpha of
+    the conic over the tile rect (inflated by radius_pad for screen motion) —
+    entries whose best pixel cannot reach the compositing alpha floor are
+    dropped before the sort. This is lossless (the rasterizer would mask every
+    pixel anyway) and prunes the AABB footprint's corner/edge tiles for
+    anisotropic splats — less sort, gather, scatter and kernel work.
+    """
     n = means2d.shape[0]
     tw, th = num_tiles(img_w, img_h, tile_size)
     n_tiles = tw * th
@@ -144,6 +181,30 @@ def build_tile_lists(
     ex = rects.x0[:, None] + k % jnp.maximum(w_rect[:, None], 1)
     ey = rects.y0[:, None] + k // jnp.maximum(w_rect[:, None], 1)
     entry_valid = k < n_touch[:, None]
+
+    if conics is not None and opacities is not None:
+        # Exact per-entry cull: peak alpha of the conic over this tile's rect
+        # (inflated by the motion pad) below the compositing floor -> drop.
+        m2d = jax.lax.stop_gradient(means2d)
+        con = jax.lax.stop_gradient(conics)
+        op = jax.lax.stop_gradient(opacities)
+        if radius_pad is None:
+            pad_e = jnp.zeros((means2d.shape[0], 1), m2d.dtype)
+        else:
+            pad_e = jax.lax.stop_gradient(radius_pad)[:, None]
+        lx = ex.astype(m2d.dtype) * tile_size - m2d[:, 0:1] - pad_e
+        hx = lx + tile_size + 2 * pad_e
+        ly = ey.astype(m2d.dtype) * tile_size - m2d[:, 1:2] - pad_e
+        hy = ly + tile_size + 2 * pad_e
+        sig_min = _sigma_min_on_rect(
+            lx, hx, ly, hy, con[:, 0:1], con[:, 1:2], con[:, 2:3]
+        )                                                          # (N, M)
+        # alpha_max = op * exp(-sig_min) >= thresh  <=>  sig_min <= ln(op/thresh)
+        # +1e-4 slack: sig_min is computed in fp; never cull a pixel whose
+        # center alpha would round to exactly the floor
+        sig_budget = jnp.log(jnp.maximum(op, 1e-12) / alpha_thresh)[:, None]
+        entry_valid = entry_valid & (sig_min <= sig_budget + 1e-4)
+
     tile_ids = jnp.where(entry_valid, ey * tw + ex, TILE_SENTINEL)  # (N, M)
 
     depths_sg = jax.lax.stop_gradient(depths)

@@ -123,3 +123,46 @@ def test_tile_lists_depth_sorted():
     for t in range(idx.shape[0]):
         d = dep[idx[t, : cnt[t]]]
         assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
+
+
+def test_exact_conic_cull_is_lossless():
+    """Peak-alpha tile culling must not change the rendered image, only
+    shrink the per-tile lists."""
+    import numpy as np
+    from splat_tpu.ops import projection, rasterize, tiling
+
+    rng = np.random.default_rng(11)
+    n, w, h = 150, 40, 32
+    means = rng.normal(size=(n, 3)) * np.array([0.5, 0.4, 0.8]) + np.array([0, 0, 4.0])
+    # very anisotropic splats: AABB footprints over-cover heavily
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.3) * np.array([0.4, 0.02, 0.02])
+    q = rng.normal(size=(n, 4)); q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    proj = projection.project_gaussians(
+        jnp.asarray(means, jnp.float32), jnp.asarray(scales, jnp.float32),
+        jnp.asarray(q, jnp.float32), jnp.eye(3), jnp.zeros(3),
+        45.0, 45.0, w / 2, h / 2, w, h,
+        lin_vel=jnp.array([0.3, -0.1, 0.1]), ang_vel=jnp.array([0.05, 0.1, 0.0]),
+    )
+    colors = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, size=(n,)), jnp.float32)
+    op_eff = opac * proj.compensations * proj.valid.astype(jnp.float32)
+    kw = dict(img_w=w, img_h=h, tile_size=8, max_per_tile=128,
+              max_tiles_per_gaussian=36)
+    base = tiling.build_tile_lists(
+        proj.means2d, proj.extents, proj.depths, proj.valid, **kw)
+    culled = tiling.build_tile_lists(
+        proj.means2d, proj.extents, proj.depths, proj.valid,
+        conics=proj.conics, opacities=op_eff, **kw)
+    assert int(culled.counts.sum()) < int(base.counts.sum()), (
+        int(culled.counts.sum()), int(base.counts.sum()))
+
+    out = rasterize.rasterize(
+        proj, colors, opac, w, h, jnp.zeros(3), rolling_shutter_time=0.03,
+        tile_size=8, max_per_tile=128, max_tiles_per_gaussian=36, chunk=16,
+        impl="jnp")
+    # reference path without culling: rasterize with conic culling force-off
+    g = rasterize.gather_tile_params(base, proj, colors, opac)
+    rgb_t, dep_t, T_t = rasterize.composite_tiles_jnp(
+        g, w, h, 8, jnp.asarray(0.03), 16)
+    rgb_ref = rasterize.assemble_image(rgb_t, w, h, 8)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_ref), atol=1e-5)
