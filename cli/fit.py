@@ -48,6 +48,14 @@ def main(argv=None):
     tc = dataclasses.replace(tc, max_steps=cfg.max_num_iterations, seed=cfg.seed)
     trainer = tr.Trainer(scene, cfg.model, tc, output_dir=run_dir)
 
+    if "viewer" in (cfg.vis or ""):
+        # live-training browser viewer (ns-train --vis viewer equivalent)
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        import viewer as viewer_mod
+
+        state = viewer_mod.ViewerState.from_trainer(cfg, trainer, res=256)
+        viewer_mod.serve(state, port=cfg.viewer_port)
+
     log_path = run_dir / "metrics_train.jsonl"
     t0 = time.time()
 

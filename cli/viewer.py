@@ -67,13 +67,26 @@ class ViewerState:
     def __init__(self, config_path: Path, res: int):
         from render_model import load_trainer_from_config
 
-        self.cfg, self.trainer = load_trainer_from_config(config_path)
+        cfg, trainer = load_trainer_from_config(config_path)
+        self._init(cfg, trainer, res)
+
+    @classmethod
+    def from_trainer(cls, cfg, trainer, res: int) -> "ViewerState":
+        """Live-training viewer (ns-train --vis viewer equivalent): renders
+        read trainer.params at request time, so the view tracks training —
+        params pytrees are swapped atomically by the host loop and JAX arrays
+        are immutable, so no trainer-side locking is needed."""
+        self = cls.__new__(cls)
+        self._init(cfg, trainer, res)
+        return self
+
+    def _init(self, cfg, trainer, res: int):
+        self.cfg = cfg
+        self.trainer = trainer
         self.res = res
         self.lock = threading.Lock()
         self._render_cache = {}
         # orbit target: scene centroid of alive gaussians
-        import jax.numpy as jnp
-
         g = self.trainer.params.gaussians
         alive = np.asarray(g.alive) > 0.5
         self.center = np.asarray(g.means)[alive].mean(axis=0)
@@ -113,17 +126,17 @@ class ViewerState:
             rolling_shutter_compensation=True,
         )
         params = self.trainer.params._replace(camera_opt={}, velocity_opt={})
+        # sh degree must be resolved OUTSIDE the jit (int() on a staged value
+        # raises ConcretizationTypeError under omnistaging)
+        sh_deg = int(sf.active_sh_degree(mcfg, self.trainer.step))
         with self.lock:
-            key = (mcfg.blur_samples,)
+            key = (mcfg.blur_samples, sh_deg)
             if key not in self._render_cache:
                 import jax
 
-                def _render(params, cam, cfg=mcfg):
+                def _render(params, cam, cfg=mcfg, deg=sh_deg):
                     bg = sf.background_color(params, cfg)
-                    out = sf.render_camera(
-                        params, cam, cfg,
-                        int(sf.active_sh_degree(cfg, self.trainer.step)), bg,
-                    )
+                    out = sf.render_camera(params, cam, cfg, deg, bg)
                     return sf.gamma_encode(out.rgb, cfg)
 
                 self._render_cache[key] = jax.jit(_render)
@@ -186,9 +199,21 @@ def main(argv=None):
 
     respect_jax_platforms_env()
     state = ViewerState(Path(args.load_config), args.resolution)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(state))
-    print(f"viewer at http://{args.host}:{args.port}/ (ctrl-c to stop)")
-    server.serve_forever()
+    serve(state, args.host, args.port, block=True)
+
+
+def serve(state: ViewerState, host: str = "0.0.0.0", port: int = 7007,
+          block: bool = False):
+    """Start the viewer HTTP server; block=False runs it on a daemon thread
+    (used by cli/fit.py --vis viewer for live-training viewing)."""
+    server = ThreadingHTTPServer((host, port), make_handler(state))
+    print(f"viewer at http://{host}:{port}/")
+    if block:
+        server.serve_forever()
+        return server
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
 
 
 if __name__ == "__main__":

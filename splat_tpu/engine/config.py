@@ -32,7 +32,8 @@ class RunConfig:
     max_num_iterations: int = 20000
     steps_per_save: int = 5000
     steps_per_eval: int = 2000
-    vis: str = "none"
+    vis: str = "none"                 # none | viewer (live browser viewer)
+    viewer_port: int = 7007
     seed: int = 42
     model: SplatfactoConfig = dataclasses.field(default_factory=SplatfactoConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)

@@ -209,3 +209,28 @@ def test_evaluate_cli(fit_run):
     m = json.loads(out_path.read_text())
     assert "psnr" in m["results"] and np.isfinite(m["results"]["psnr"])
     assert m["checkpoint_step"] == 40
+
+
+def test_viewer_render_route(fit_run):
+    """The interactive viewer must serve a real render (the jit path) — it
+    regressed silently once when only the HTML route was exercised."""
+    import threading
+    import urllib.request
+
+    sys.path.insert(0, str(REPO / "cli"))
+    import viewer as viewer_mod
+
+    cfg_path = next((fit_run / "testds/baseline/scene/splatfacto").glob("*/config.json"))
+    state = viewer_mod.ViewerState(cfg_path, res=32)
+    server = viewer_mod.serve(state, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    try:
+        html = urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30).read()
+        assert b"<html" in html.lower()
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?yaw=0.3&pitch=0.2&radius=3&exp=0.05&rs=0.01",
+            timeout=300,
+        ).read()
+        assert png[:4] == b"\x89PNG", png[:16]
+    finally:
+        server.shutdown()
