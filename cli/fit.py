@@ -46,6 +46,10 @@ def main(argv=None):
     import dataclasses
 
     tc = dataclasses.replace(tc, max_steps=cfg.max_num_iterations, seed=cfg.seed)
+    if "viewer" in (cfg.vis or ""):
+        # the live viewer thread reads trainer.params concurrently; donated
+        # buffers would be invalidated mid-render
+        tc = dataclasses.replace(tc, donate_buffers=False)
     trainer = tr.Trainer(scene, cfg.model, tc, output_dir=run_dir)
 
     if "viewer" in (cfg.vis or ""):

@@ -59,6 +59,9 @@ class TrainerConfig:
     # dispatch pipelines (a per-step sync costs a full host round-trip — ~50 ms
     # over this box's TPU tunnel; step_ms percentiles aggregate whole windows)
     sync_every: int = 10
+    # buffer donation in the train step; fit.py disables it for --vis viewer
+    # (a concurrent reader must not see donated-away params)
+    donate_buffers: bool = True
 
 
 def param_labels(params: sf.ModelParams) -> Any:
@@ -105,11 +108,16 @@ def build_optimizer(params: sf.ModelParams, tc: TrainerConfig) -> optax.Gradient
 
 
 def make_train_step(
-    config: sf.SplatfactoConfig, optimizer: optax.GradientTransformation
+    config: sf.SplatfactoConfig, optimizer: optax.GradientTransformation,
+    donate: bool = True,
 ):
-    """Jitted: render -> loss -> grads -> optimizer update -> grad accumulation."""
+    """Jitted: render -> loss -> grads -> optimizer update -> grad accumulation.
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    donate=False keeps input buffers alive (needed when another thread reads
+    trainer.params concurrently, e.g. the live viewer — donated buffers are
+    invalidated the moment the next step is dispatched)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def train_step(params, opt_state, strat_state, camera, gt, step, key):
         sh_deg = sf.active_sh_degree(config, step)
         probe = jnp.zeros_like(params.gaussians.means[:, :2])
@@ -235,7 +243,7 @@ class Trainer:
         self.strat_state = st.init_strategy_state(
             self.params.gaussians.alive.shape[0], tc.seed
         )
-        self.train_step = make_train_step(cfg, self.optimizer)
+        self.train_step = make_train_step(cfg, self.optimizer, donate=tc.donate_buffers)
         self.refine = st.make_refine(cfg)
         self.reset_opacity = st.make_reset_opacity(cfg)
         if cfg.optimize_eval_cameras and self.params.eval_camera_opt:
@@ -310,7 +318,7 @@ class Trainer:
         steps = max_steps if max_steps is not None else tc.max_steps
         order = None
         t0 = time.time()
-        for _ in range(steps):
+        for it in range(steps):
             i = self.step % n_train
             if i == 0 or order is None:
                 self.key, k = jax.random.split(self.key)
@@ -328,7 +336,7 @@ class Trainer:
             )
             if (
                 (self.step + 1) % tc.sync_every == 0
-                or self.step + 1 == steps
+                or it + 1 == steps  # end of this run() chunk, not global step
                 or (self.step + 1) % cfg.refine_every == 0
             ):
                 jax.block_until_ready(loss)

@@ -101,18 +101,28 @@ def make_multihost_mesh(
     assert n_dev % ici == 0, f"{n_dev} devices not divisible by ici axes {ici}"
     if n_data is None:
         n_data = n_dev // ici
-    shape = (n_data, n_gauss, n_blur, n_tile)
+    assert n_data * ici == n_dev, (n_data, ici, n_dev)
     if jax.process_count() > 1:
-        per_host = n_dev // jax.process_count()
-        assert ici <= per_host and per_host % ici == 0, (
-            f"ici axes ({ici}) must fit within one host ({per_host} devices)"
+        # create_hybrid_device_mesh: mesh_shape must multiply to the devices
+        # PER SLICE and dcn_mesh_shape to the slice count — so the data axis
+        # factors into (within-slice leftover) x (slices), concatenated into
+        # one axis by the elementwise shape product.
+        n_slices = jax.process_count()
+        per_slice = n_dev // n_slices
+        assert ici <= per_slice and per_slice % ici == 0, (
+            f"ici axes ({ici}) must fit within one slice ({per_slice} devices)"
+        )
+        data_local = per_slice // ici
+        assert n_data == data_local * n_slices, (
+            f"n_data={n_data} must equal (devices_per_slice/ici) x slices "
+            f"= {data_local} x {n_slices}"
         )
         devs = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, n_gauss, n_blur, n_tile),
-            dcn_mesh_shape=(n_data, 1, 1, 1),
+            mesh_shape=(data_local, n_gauss, n_blur, n_tile),
+            dcn_mesh_shape=(n_slices, 1, 1, 1),
         )
     else:
-        devs = mesh_utils.create_device_mesh(shape)
+        devs = mesh_utils.create_device_mesh((n_data, n_gauss, n_blur, n_tile))
     return Mesh(devs, ("data", "gauss", "blur", "tile"))
 
 

@@ -228,7 +228,7 @@ def test_viewer_render_route(fit_run):
         html = urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30).read()
         assert b"<html" in html.lower()
         png = urllib.request.urlopen(
-            f"http://127.0.0.1:{port}/render?yaw=0.3&pitch=0.2&radius=3&exp=0.05&rs=0.01",
+            f"http://127.0.0.1:{port}/render?yaw=0.3&pitch=0.2&r=3&exp=0.05&rs=0.01",
             timeout=300,
         ).read()
         assert png[:4] == b"\x89PNG", png[:16]
