@@ -238,6 +238,12 @@ class Trainer:
         self.train_cams = self._localize(self.scene.train_cameras)
         self.eval_cams = self._localize(self.scene.eval_cameras)
 
+        if cfg.blur_anchors == 0:
+            cfg = dataclasses.replace(
+                cfg, blur_anchors=sf.resolve_blur_anchors(cfg, self.train_cams)
+            )
+            self.model_config = cfg
+
         self.optimizer = build_optimizer(self.params, tc)
         self.opt_state = self.optimizer.init(self.params)
         self.strat_state = st.init_strategy_state(

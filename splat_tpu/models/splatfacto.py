@@ -46,6 +46,13 @@ class SplatfactoConfig:
     #   path (sort/gather/grad-scatter amortized over the exposure).
     # exact: re-project at each sub-frame pose like the reference (train.py:22).
     blur_mode: str = "fused"
+    # number of anchor poses for fused mode: sub-frames are grouped around A
+    # exact poses and warped only within a group — linearization error scales
+    # with (exposure/A)^2 at A x (binning pipeline) cost. 0 = auto: the
+    # trainer picks A from the dataset's worst rotation-per-exposure (see
+    # resolve_blur_anchors; measured: <=6 deg of rotation per anchor group
+    # matches exact reprojection, 12+ deg degrades several dB).
+    blur_anchors: int = 0
     rolling_shutter_compensation: bool = True
     gamma: float = 2.2                         # 1.0 when MB compensation off
     min_rgb_level: float = 10.0                # black-level floor, 0..255 scale
@@ -207,6 +214,27 @@ def background_color(
     return jnp.zeros(3)
 
 
+def resolve_blur_anchors(config: SplatfactoConfig, cameras: Cameras) -> int:
+    """Auto anchor count for fused blur (config.blur_anchors == 0).
+
+    The screen-space velocity warp linearizes the sub-frame pose change; its
+    dominant error is rotational. Pick the smallest A whose per-anchor-group
+    rotation stays under ~6 deg — measured on synthetic extreme-blur scenes:
+    <=6 deg/group matches exact reprojection to within noise, 12+ deg costs
+    several dB of PSNR."""
+    if config.blur_anchors > 0:
+        return config.blur_anchors
+    if config.blur_mode != "fused" or config.blur_samples <= 1:
+        return 1
+    omega = np.linalg.norm(np.asarray(cameras.ang_vel), axis=-1)   # (N,)
+    window = np.abs(np.asarray(cameras.exposure_time)) + np.abs(
+        np.asarray(cameras.rolling_shutter_time)
+    )
+    max_rot = float(np.max(omega * window)) if omega.size else 0.0
+    a = int(np.ceil(max_rot / np.deg2rad(6.0)))
+    return int(np.clip(a, 1, config.blur_samples))
+
+
 def resolve_impl(impl: str) -> str:
     if impl == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -305,20 +333,33 @@ def render_camera(
     if eps.shape[0] == 1:
         outs = jax.tree.map(lambda x: x[None], render_subframe(eps[0]))
     elif config.blur_mode == "fused":
-        # TPU fast path: one projection/binning at mid-exposure; the rasterizer
-        # renders every sub-frame via the screen-space velocity warp, with the
-        # per-tile parameter block resident in VMEM across samples.
-        proj, colors = subframe_inputs(jnp.zeros(()))
-        outs = rasterize.rasterize_fused(
-            proj, colors, opac, w, h, background,
-            eps=eps,
-            rolling_shutter_time=rs_time,
-            tile_size=config.tile_size,
-            max_per_tile=config.max_per_tile,
-            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
-            chunk=config.chunk,
-            impl=resolve_impl(config.impl),
-        )
+        # TPU fast path: project/bin at A anchor poses spread over the
+        # exposure; each anchor's rasterizer call renders its group of
+        # sub-frames via the screen-space velocity warp with the per-tile
+        # parameter block resident in VMEM. Warp linearization error scales
+        # with (exposure/A)^2: A=1 is the cheapest (one binning per frame),
+        # A=blur_samples degenerates to exact per-sub-frame reprojection.
+        n_s = eps.shape[0]
+        n_a = max(min(config.blur_anchors, n_s), 1)
+        # contiguous groups of near-equal (static) sizes; any A in [1, S] works
+        sizes = [n_s // n_a + (1 if a < n_s % n_a else 0) for a in range(n_a)]
+        offsets = [sum(sizes[:a]) for a in range(n_a)]
+        per_anchor = []
+        for a in range(n_a):
+            eps_g = jax.lax.dynamic_slice(eps, (offsets[a],), (sizes[a],))
+            t_a = eps_g.mean()
+            proj, colors = subframe_inputs(t_a)
+            per_anchor.append(rasterize.rasterize_fused(
+                proj, colors, opac, w, h, background,
+                eps=eps_g - t_a,
+                rolling_shutter_time=rs_time,
+                tile_size=config.tile_size,
+                max_per_tile=config.max_per_tile,
+                max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+                chunk=config.chunk,
+                impl=resolve_impl(config.impl),
+            ))
+        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *per_anchor)
     else:
         # Exact per-sub-frame reprojection (reference semantics). lax.map
         # compiles the sub-frame body ONCE (vmap would inline S copies of the

@@ -225,15 +225,24 @@ def _render_strip_linear(
         # its parameter shard, then the packed rasterization table is
         # all-gathered (its autodiff transpose reduce-scatters the grads back
         # to the shards).
-        proj, colors = subframe_inputs(jnp.zeros(()))
+        # Anchor policy: blur_anchors in {0, 1} anchors at mid-exposure
+        # (bit-identical to the single-device A=1 path); any other value
+        # anchors each blur shard at ITS OWN group's mean time — the sharded
+        # realization of A=n_blur anchors (per-group exact pose, warp only
+        # within the group; see models.resolve_blur_anchors).
+        if config.blur_anchors in (0, 1):
+            t_anchor = jnp.zeros(())
+        else:
+            t_anchor = eps_local.mean()
+        proj, colors = subframe_inputs(t_anchor)
         local_opac = opac
         if gauss_axis is not None:
             proj, colors, local_opac = _all_gather_projected(
                 proj, colors, opac, gauss_axis
             )
         out = rasterize.rasterize_fused(
-            proj, colors, local_opac, w, strip_h, background, eps=eps_local,
-            **raster_kw
+            proj, colors, local_opac, w, strip_h, background,
+            eps=eps_local - t_anchor, **raster_kw
         )
         return out.rgb.sum(axis=0), eps_local.shape[0]
     if eps_local.shape[0] == 1:
