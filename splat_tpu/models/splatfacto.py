@@ -50,8 +50,8 @@ class SplatfactoConfig:
     # exact poses and warped only within a group — linearization error scales
     # with (exposure/A)^2 at A x (binning pipeline) cost. 0 = auto: the
     # trainer picks A from the dataset's worst rotation-per-exposure (see
-    # resolve_blur_anchors; measured: <=6 deg of rotation per anchor group
-    # matches exact reprojection, 12+ deg degrades several dB).
+    # resolve_blur_anchors; calibrated: <=3 deg of rotation per anchor group
+    # tracks exact reprojection, 6+ deg costs dBs).
     blur_anchors: int = 0
     rolling_shutter_compensation: bool = True
     gamma: float = 2.2                         # 1.0 when MB compensation off
@@ -219,9 +219,11 @@ def resolve_blur_anchors(config: SplatfactoConfig, cameras: Cameras) -> int:
 
     The screen-space velocity warp linearizes the sub-frame pose change; its
     dominant error is rotational. Pick the smallest A whose per-anchor-group
-    rotation stays under ~6 deg — measured on synthetic extreme-blur scenes:
-    <=6 deg/group matches exact reprojection to within noise, 12+ deg costs
-    several dB of PSNR."""
+    rotation stays under ~3 deg — calibrated on a synthetic extreme-blur scene
+    (12.6 deg/exposure; exact reprojection = 16.8 dB PSNR): 6.3 deg/group
+    -> -2.8 dB, 4.2 deg -> -0.9 dB, 2.5 deg -> -0.5 dB. Typical smartphone
+    exposures (1-30 ms) rotate < 1 deg, so A resolves to 1 (full fused
+    speed) exactly where the fast path is safe."""
     if config.blur_anchors > 0:
         return config.blur_anchors
     if config.blur_mode != "fused" or config.blur_samples <= 1:
@@ -231,7 +233,7 @@ def resolve_blur_anchors(config: SplatfactoConfig, cameras: Cameras) -> int:
         np.asarray(cameras.rolling_shutter_time)
     )
     max_rot = float(np.max(omega * window)) if omega.size else 0.0
-    a = int(np.ceil(max_rot / np.deg2rad(6.0)))
+    a = int(np.ceil(max_rot / np.deg2rad(3.0)))
     return int(np.clip(a, 1, config.blur_samples))
 
 
