@@ -218,3 +218,41 @@ def test_ssim_bounds_and_identity():
     for x, y in [(a, b), (smooth, a), (smooth, smooth * 1.001)]:
         v = float(ssim(x, y))
         assert -1.001 <= v <= 1.001, v
+
+
+def test_blur_anchors_full_equals_exact(model):
+    """A = blur_samples degenerates to exact per-sub-frame reprojection
+    (each group holds one sample at zero warp offset)."""
+    params, cfg = model
+    cam = make_camera(exposure=0.25, rs=0.02)
+    full = sf.render_camera(
+        params, cam,
+        dataclasses.replace(cfg, blur_mode="fused", blur_samples=5, blur_anchors=5),
+        1, jnp.zeros(3))
+    exact = sf.render_camera(
+        params, cam,
+        dataclasses.replace(cfg, blur_mode="exact", blur_samples=5),
+        1, jnp.zeros(3))
+    np.testing.assert_allclose(
+        np.asarray(full.rgb), np.asarray(exact.rgb), atol=1e-5)
+
+
+def test_resolve_blur_anchors():
+    from splat_tpu.cameras.cameras import Cameras
+    def cams(omega, exposure, rs=0.0, n=3):
+        R = jnp.tile(jnp.eye(3)[None], (n, 1, 1))
+        p = jnp.zeros((n, 3)); f = jnp.full((n,), 40.0); c = jnp.full((n,), 16.0)
+        return Cameras(R, p, f, f, c, c, 32, 32,
+                       ang_vel=jnp.tile(jnp.array([[0.0, 0.0, omega]]), (n, 1)),
+                       exposure_time=jnp.full((n,), exposure),
+                       rolling_shutter_time=jnp.full((n,), rs))
+    cfg = sf.SplatfactoConfig(blur_samples=5, blur_anchors=0, blur_mode="fused")
+    # typical smartphone: ~0.5 rad/s shake x 20 ms -> < 1 deg -> fast path A=1
+    assert sf.resolve_blur_anchors(cfg, cams(0.5, 0.02)) == 1
+    # extreme: 0.78 rad/s x 0.28 s = 12.5 deg -> ceil(12.5/3) = 5
+    assert sf.resolve_blur_anchors(cfg, cams(0.78, 0.28)) == 5
+    # capped at blur_samples
+    assert sf.resolve_blur_anchors(cfg, cams(3.0, 0.5)) == 5
+    # explicit value wins; exact mode/no blur -> 1
+    assert sf.resolve_blur_anchors(dataclasses.replace(cfg, blur_anchors=3), cams(3.0, 0.5)) == 3
+    assert sf.resolve_blur_anchors(dataclasses.replace(cfg, blur_mode="exact"), cams(3.0, 0.5)) == 1
