@@ -84,8 +84,24 @@ def fwd_bwd(m):
     return jax.grad(lambda mm: fwd_only(mm) )(m).sum()[None]
 
 
+def proj_all(m):
+    p = proj_fn(m)
+    return (jnp.sum(p.means2d) + jnp.sum(p.conics) + jnp.sum(p.depths)
+            + jnp.sum(p.compensations) + jnp.sum(p.pix_vels) + jnp.sum(p.extents))
+
+
+def proj_vjp(m):
+    return jax.grad(proj_all)(m).sum()[None]
+
+
+def packed_vjp(m):
+    return jax.grad(upto_packed)(m).sum()[None]
+
+
 timeit("proj fwd", lambda m: jnp.sum(proj_fn(m).means2d), means)
+timeit("proj fwd+vjp", proj_vjp, means)
 timeit("+ tile lists", upto_lists, means)
 timeit("+ gather+pack", upto_packed, means)
+timeit("+ gather+pack fwd+vjp", packed_vjp, means)
 timeit("full fused fwd", fwd_only, means)
 timeit("full fused fwd+bwd", fwd_bwd, means)

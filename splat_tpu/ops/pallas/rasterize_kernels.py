@@ -15,8 +15,11 @@ CUDA kernels (SURVEY.md §2c #5/#6). Key departures from the CUDA design:
     lanes (128) — alpha matrices are (npix, 128) f32 tiles.
   * Per-tile dynamic trip count (ceil(count/128)) plus transmittance early
     exit via lax.while_loop; tiles with few Gaussians cost one iteration.
-  * Fused exposure (motion blur): the grid carries a second axis over blur
-    sub-frame times eps_s. The per-pixel readout time becomes
+  * Fused exposure (motion blur): all S blur sub-frame times eps_s render
+    inside ONE grid step per tile (unrolled sample loop over the resident
+    param block) — per-grid-step overhead, the measured bottleneck at tile16,
+    is paid once per tile, not once per (tile, sample).
+    The per-pixel readout time becomes
     t = eps_s + t_rs*(py/H - 1/2) and the Gaussian mean is shifted by
     pix_vel * t — the SAME first-order screen-space warp the method uses for
     rolling shutter (SURVEY.md Appendix B.3), applied to the exposure window.
@@ -86,30 +89,6 @@ def _pixel_coords(tile_size: int, tx, ty, img_h: int, rs_time, row_offset, eps_s
     return px, py, t_row
 
 
-def _chunk_alpha(params_ref, px, py, t_row, base, count, chunk=CHUNK):
-    """Alpha matrix (npix, chunk) for one chunk + the (16, chunk) sub-block.
-
-    Loads the chunk directly from the VMEM ref (dynamic ref slices lower to
-    Mosaic; dynamic_slice on materialized values does not). chunk is the lane
-    width of one compositing wave — wider chunks raise ILP in the serial
-    per-chunk dependency chain at the cost of coarser early-exit granularity."""
-    sub = params_ref[0, :, pl.ds(base, chunk)]   # (16, chunk)
-    mx, my = sub[0:1], sub[1:2]          # (1, CHUNK)
-    ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
-    op = sub[8:9]
-    pvx, pvy = sub[10:11], sub[11:12]
-
-    dx = px - (mx + pvx * t_row)         # (npix, CHUNK)
-    dy = py - (my + pvy * t_row)
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    alpha_raw = op * jnp.exp(-sigma)
-    alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
-    j = base + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
-    mask = (sigma >= 0) & (alpha >= ALPHA_THRESH) & (j < count)
-    alpha = jnp.where(mask, alpha, 0.0)
-    return alpha, alpha_raw, mask, dx, dy, sub
-
-
 def _cum_exc_log(alpha):
     """Exclusive cumulative log(1-alpha) along lanes via MXU."""
     chunk = alpha.shape[1]
@@ -122,175 +101,427 @@ def _cum_exc_log(alpha):
     )
 
 
-def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tiles_x, img_h, chunk=CHUNK):
+def _cum_exc_log_roll(alpha):
+    """Exclusive cumulative log(1-alpha) along lanes via Hillis-Steele rolls.
+
+    log2(chunk) shift+add VPU passes instead of a (chunk, chunk) MXU matmul —
+    for when the kernel is MXU-issue-bound so the scan rides the idle VPU."""
+    chunk = alpha.shape[1]
+    s = jnp.log1p(-alpha)                              # (npix, CHUNK)
+    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    # e[i] = s[i-1]; then doubling strides: window [i-2^k, i-1] of s.
+    e = jnp.where(lane >= 1, pltpu.roll(s, 1, 1), 0.0)
+    shift = 1
+    while shift < chunk:
+        e = e + jnp.where(lane >= shift, pltpu.roll(e, shift, 1), 0.0)
+        shift *= 2
+    return e
+
+
+_CUM_EXC = (
+    _cum_exc_log_roll
+    if _os.environ.get("SPLAT_TPU_CUMSUM", "mxu").lower() == "roll"
+    else _cum_exc_log
+)
+
+
+def _chunk_basis(params_ref, px, py, base, count, chunk=CHUNK):
+    """Per-chunk quantities shared by ALL blur sub-frames.
+
+    The Gaussian exponent along the warp mean(t) = mean + pix_vel*t is a
+    quadratic polynomial in the per-pixel sampling time t:
+        sigma(t) = A + B t + C t^2,  dx(t) = dx0 - pvx t,  dy(t) = dy0 - pvy t
+    so each sub-frame costs 2 FMA passes + one exp instead of a full
+    re-evaluation — the chunk basis (A, B, C, dx0, dy0) is computed ONCE per
+    chunk and amortized over the S unrolled samples."""
+    sub = params_ref[0, :, pl.ds(base, chunk)]   # (16, chunk)
+    mx, my = sub[0:1], sub[1:2]          # (1, CHUNK)
+    ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
+    pvx, pvy = sub[10:11], sub[11:12]
+
+    dx0 = px - mx                        # (npix, CHUNK)
+    dy0 = py - my
+    A = 0.5 * (ca * dx0 * dx0 + cc * dy0 * dy0) + cb * dx0 * dy0
+    B = -(ca * dx0 * pvx + cb * (dx0 * pvy + dy0 * pvx) + cc * dy0 * pvy)
+    C = 0.5 * (ca * pvx * pvx + cc * pvy * pvy) + cb * pvx * pvy
+    j = base + jax.lax.broadcasted_iota(jnp.int32, A.shape, 1)
+    jmask = j < count
+    return sub, dx0, dy0, A, B, C, jmask
+
+
+def _sample_alpha(sub, A, B, C, jmask, t_row):
+    """Alpha matrix for ONE sub-frame from the shared chunk basis."""
+    op = sub[8:9]
+    sigma = A + t_row * (B + t_row * C)
+    alpha_raw = op * jnp.exp(-sigma)
+    alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
+    mask = (sigma >= 0) & (alpha >= ALPHA_THRESH) & jmask
+    alpha = jnp.where(mask, alpha, 0.0)
+    return alpha, alpha_raw, mask
+
+
+def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tiles_x, img_h, n_samples, chunk=CHUNK):
     t = pl.program_id(0)
-    s = pl.program_id(1)
     count = counts_ref[t]
     rs_time = scalars_ref[0]
     row_offset = scalars_ref[1]
-    eps_s = scalars_ref[2 + s]
     npix = tile_size * tile_size
     tx = (t % tiles_x) * tile_size
     ty = (t // tiles_x) * tile_size
-    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, eps_s)
     k_max = params_ref.shape[2]
     n_chunks = jnp.minimum((count + chunk - 1) // chunk, k_max // chunk)
 
+    # All S blur sub-frames composite inside ONE grid step from the resident
+    # param block (grid-step overhead paid once per tile), with the samples
+    # UNROLLED INSIDE the chunk loop so the chunk basis is shared across them.
+    px, py, t_pix = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, 0.0)
+    t_rows = [scalars_ref[2 + s] + t_pix for s in range(n_samples)]
+
     def cond(carry):
-        i, _, _, T = carry
-        return (i < n_chunks) & (jnp.max(T) > T_EPS)
+        i = carry[0]
+        t_alive = carry[2]
+        alive = jnp.array(False)
+        for s in range(n_samples):
+            alive |= jnp.max(t_alive[s]) > T_EPS
+        return (i < n_chunks) & alive
 
     def body(carry):
-        i, rgb_acc, dep_acc, T = carry
+        i, rgbd_accs, Ts = carry
         base = i * chunk
-        alpha, _, _, _, _, sub = _chunk_alpha(params_ref, px, py, t_row, base, count, chunk)
-        t_exc = T * jnp.exp(_cum_exc_log(alpha))  # (npix, CHUNK)
-        t_inc = t_exc * (1.0 - alpha)             # inclusive: one mul, no 2nd exp
-        active = t_exc > T_EPS
-        w = jnp.where(active, t_exc * alpha, 0.0)
-
+        sub, _, _, A, B, C, jmask = _chunk_basis(params_ref, px, py, base, count, chunk)
         cols4 = jnp.concatenate([sub[5:8], sub[9:10]], axis=0)  # rgb+depth rows
-        acc = jax.lax.dot_general(
-            w, cols4, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
-        )                                        # (npix, 4) — N-dim pads to the
-        rgb_acc = rgb_acc + acc[:, 0:3]          # same MXU tile as 3, so the
-        dep_acc = dep_acc + acc[:, 3:4]          # depth column rides free
-        T = jnp.min(jnp.where(active, t_inc, T), axis=1, keepdims=True)
-        return i + 1, rgb_acc, dep_acc, T
+
+        new_acc, new_T = [], []
+        for s in range(n_samples):
+            alpha, _, _ = _sample_alpha(sub, A, B, C, jmask, t_rows[s])
+            t_exc = Ts[s] * jnp.exp(_CUM_EXC(alpha))  # (npix, CHUNK)
+            t_inc = t_exc * (1.0 - alpha)             # inclusive: one mul, no 2nd exp
+            active = t_exc > T_EPS
+            w = jnp.where(active, t_exc * alpha, 0.0)
+
+            # rgbd accumulator kept TRANSPOSED (4, npix): streaming the 4-row
+            # side through the MXU costs ~4 passes instead of npix (the N=4
+            # orientation would pad to a full 128-lane tile).
+            acc = jax.lax.dot_general(
+                cols4, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=_MM_PRECISION,
+            )                                            # (4, npix)
+            new_acc.append(rgbd_accs[s] + acc)
+            new_T.append(jnp.min(jnp.where(active, t_inc, Ts[s]), axis=1, keepdims=True))
+        return i + 1, tuple(new_acc), tuple(new_T)
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.zeros((npix, 3), jnp.float32),
-        jnp.zeros((npix, 1), jnp.float32),
-        jnp.ones((npix, 1), jnp.float32),
+        tuple(jnp.zeros((4, npix), jnp.float32) for _ in range(n_samples)),
+        tuple(jnp.ones((npix, 1), jnp.float32) for _ in range(n_samples)),
     )
-    _, rgb_acc, dep_acc, T = jax.lax.while_loop(cond, body, init)
+    _, rgbd_accs_f, Ts_f = jax.lax.while_loop(cond, body, init)
 
-    packed = jnp.concatenate(
-        [rgb_acc, dep_acc, T, jnp.zeros((npix, NOUT - 5), jnp.float32)], axis=1
-    )                                            # (npix, 8)
-    out_ref[0, 0] = packed.T                     # (8, npix)
+    for s in range(n_samples):
+        packed = jnp.concatenate(
+            [rgbd_accs_f[s], Ts_f[s].T, jnp.zeros((NOUT - 5, npix), jnp.float32)],
+            axis=0,
+        )                                            # (8, npix)
+        out_ref[0, s] = packed
 
 
 def _bwd_kernel(
     counts_ref, scalars_ref, params_ref, fwd_out_ref, g_out_ref, d_params_ref,
-    *, tile_size, tiles_x, img_h, chunk=CHUNK,
+    *, tile_size, tiles_x, img_h, n_samples, chunk=CHUNK,
 ):
     t = pl.program_id(0)
-    s = pl.program_id(1)
     count = counts_ref[t]
     rs_time = scalars_ref[0]
     row_offset = scalars_ref[1]
-    eps_s = scalars_ref[2 + s]
     npix = tile_size * tile_size
     tx = (t % tiles_x) * tile_size
     ty = (t // tiles_x) * tile_size
-    px, py, t_row = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, eps_s)
     k_max = params_ref.shape[2]
     n_chunks = jnp.minimum((count + chunk - 1) // chunk, k_max // chunk)
 
-    fwd = fwd_out_ref[0, 0]                     # (8, npix)
-    g = g_out_ref[0, 0]                         # (8, npix)
-    dC = g[0:3].T                               # (npix, 3)
-    dD = g[3:4].T                               # (npix, 1)
-    dT = g[4:5].T                               # (npix, 1)
-    rgb_out = fwd[0:3].T                        # (npix, 3)
-    dep_out = fwd[3:4].T
-    T_final = fwd[4:5].T
+    # One d_params block per tile, zeroed once. The S blur sub-frames are
+    # UNROLLED INSIDE the chunk loop: the chunk basis (A, B, C, dx0, dy0) is
+    # shared across them and the per-sample gradients are summed in registers,
+    # so the VMEM read-modify-write happens ONCE per chunk.
+    d_params_ref[0] = jnp.zeros_like(d_params_ref[0])
 
-    # A_total = sum_j w_j (c_j.dC + d_j dD) + T_final * dT   (npix, 1)
-    A_total = (
-        jnp.sum(rgb_out * dC, axis=1, keepdims=True) + dep_out * dD + T_final * dT
-    )
-    G4 = jnp.concatenate([dC, dD], axis=1)      # (npix, 4) rgb+depth cotangents
+    px, py, t_pix = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, 0.0)
+    t_rows = [scalars_ref[2 + s] + t_pix for s in range(n_samples)]
 
-    # One d_params block per tile, accumulated across the S blur samples (the
-    # block index_map ignores s, so Mosaic keeps it resident in VMEM).
-    @pl.when(s == 0)
-    def _():
-        d_params_ref[0] = jnp.zeros_like(d_params_ref[0])
+    # Per-sample cotangents + the total-contribution constant (residual trick:
+    # A_total = sum_j w_j (c_j.dC + d_j dD) + T_final * dT, all from fwd outs).
+    dCs, dDs, G4s, A_totals = [], [], [], []
+    for s in range(n_samples):
+        fwd = fwd_out_ref[0, s]                 # (8, npix)
+        g = g_out_ref[0, s]                     # (8, npix)
+        dC = g[0:3].T                           # (npix, 3)
+        dD = g[3:4].T                           # (npix, 1)
+        dT = g[4:5].T                           # (npix, 1)
+        A_totals.append(
+            jnp.sum(fwd[0:3].T * dC, axis=1, keepdims=True)
+            + fwd[3:4].T * dD + fwd[4:5].T * dT
+        )
+        dCs.append(dC)
+        dDs.append(dD)
+        G4s.append(jnp.concatenate([dC, dD], axis=1))   # (npix, 4)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    Minc = (r <= c).astype(jnp.float32)         # inclusive-prefix matmul mask
 
     def cond(carry):
-        i, _, _ = carry
-        return (i < n_chunks) & (jnp.max(carry[2]) > T_EPS)
+        i, _, Ts = carry
+        alive = (i < n_chunks)
+        any_t = jnp.array(False)
+        for s in range(n_samples):
+            any_t |= jnp.max(Ts[s]) > T_EPS
+        return alive & any_t
 
     def body(carry):
-        i, prefix, T = carry
+        i, prefixes, Ts = carry
         base = i * chunk
-        alpha, alpha_raw, mask, dx, dy, sub = _chunk_alpha(
-            params_ref, px, py, t_row, base, count, chunk
-        )
-        t_exc = T * jnp.exp(_cum_exc_log(alpha))
-        t_inc = t_exc * (1.0 - alpha)
-        active = t_exc > T_EPS
-        w = jnp.where(active, t_exc * alpha, 0.0)   # (npix, CHUNK)
-
+        sub, dx0, dy0, A, B, C, jmask = _chunk_basis(params_ref, px, py, base, count, chunk)
+        ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
         cols = sub[5:8]                             # (3, CHUNK)
         dep = sub[9:10]                             # (1, CHUNK)
         op = sub[8:9]
+        pvx, pvy = sub[10:11], sub[11:12]
+        inv_op = pl.reciprocal(jnp.maximum(op, 1e-12), approx=False)
 
-        # per-gaussian-and-pixel loss sensitivity v_i = c_i.dC + d_i dD
-        v = jax.lax.dot_general(
-            dC, cols, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
-        ) + dD * dep                                 # (npix, CHUNK)
+        g_cd = jnp.zeros((4, chunk), jnp.float32)   # colors+depth cotangent rows
+        # Sample-summed moment planes: every positional gradient is a pixel
+        # reduction of d_sigma-weighted monomials in (dx_s, dy_s), and
+        # dx_s = dx0 - pvx*t_s, so summing P_k = sum_s t_s^k * d_sigma_s per
+        # chunk lets ALL seven pixel reductions run ONCE per chunk (epilogue
+        # below) instead of once per sample — the reductions were ~half the
+        # per-sample pass count.
+        P0 = jnp.zeros((npix, chunk), jnp.float32)
+        P1 = jnp.zeros((npix, chunk), jnp.float32)
+        P2 = jnp.zeros((npix, chunk), jnp.float32)
+        new_prefix, new_T = [], []
 
-        contrib = w * v                              # (npix, CHUNK)
-        # prefix including this chunk, per position (inclusive within chunk)
-        r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-        Minc = (r <= c).astype(contrib.dtype)
-        prefix_inc = prefix + jax.lax.dot_general(
-            contrib, Minc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
-        )                                            # (npix, CHUNK)
-        S = A_total - prefix_inc                     # suffix incl. T_final*dT
+        for s in range(n_samples):
+            t_row = t_rows[s]
+            alpha, alpha_raw, mask = _sample_alpha(sub, A, B, C, jmask, t_row)
+            t_exc = Ts[s] * jnp.exp(_CUM_EXC(alpha))
+            t_inc = t_exc * (1.0 - alpha)
+            active = t_exc > T_EPS
+            w = jnp.where(active, t_exc * alpha, 0.0)   # (npix, CHUNK)
 
-        one_m = jnp.maximum(1.0 - alpha, 1e-6)
-        d_alpha = jnp.where(active, t_exc * v - S / one_m, 0.0)
+            # per-gaussian-and-pixel loss sensitivity v_i = c_i.dC + d_i dD
+            # (measured: the MXU K=3 form beats a VPU broadcast outer-product)
+            v = jax.lax.dot_general(
+                dCs[s], cols, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_MM_PRECISION,
+            ) + dDs[s] * dep                             # (npix, CHUNK)
 
-        # chain through alpha = min(0.999, op * exp(-sigma)); grad zero at clamp
-        live = mask & (alpha_raw < MAX_ALPHA)
-        expneg = jnp.where(live, alpha * pl.reciprocal(jnp.maximum(op, 1e-12), approx=False), 0.0)
-        d_op = jnp.sum(expneg * d_alpha, axis=0, keepdims=True)      # (1, CHUNK)
-        d_sigma = jnp.where(live, -alpha * d_alpha, 0.0)             # (npix, CHUNK)
+            contrib = w * v                              # (npix, CHUNK)
+            prefix_inc = prefixes[s] + jax.lax.dot_general(
+                contrib, Minc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MM_PRECISION,
+            )                                            # (npix, CHUNK) inclusive
+            S = A_totals[s] - prefix_inc                 # suffix incl. T_final*dT
 
-        ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
-        d_ca = jnp.sum(0.5 * dx * dx * d_sigma, axis=0, keepdims=True)
-        d_cb = jnp.sum(dx * dy * d_sigma, axis=0, keepdims=True)
-        d_cc = jnp.sum(0.5 * dy * dy * d_sigma, axis=0, keepdims=True)
-        d_dx = (ca * dx + cb * dy) * d_sigma
-        d_dy = (cc * dy + cb * dx) * d_sigma
-        d_mx = -jnp.sum(d_dx, axis=0, keepdims=True)
-        d_my = -jnp.sum(d_dy, axis=0, keepdims=True)
-        d_pvx = -jnp.sum(d_dx * t_row, axis=0, keepdims=True)
-        d_pvy = -jnp.sum(d_dy * t_row, axis=0, keepdims=True)
-        dcd = jax.lax.dot_general(
-            G4, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
-        )                                            # (4, CHUNK): colors+depth
-        d_cols = dcd[0:3]
-        d_dep = dcd[3:4]
+            one_m = jnp.maximum(1.0 - alpha, 1e-6)
+            d_alpha = jnp.where(active, t_exc * v - S / one_m, 0.0)
+
+            # chain through alpha = min(0.999, op*exp(-sigma)); grad 0 at clamp
+            live = mask & (alpha_raw < MAX_ALPHA)
+            d_sigma = jnp.where(live, -alpha * d_alpha, 0.0)   # (npix, CHUNK)
+            td = t_row * d_sigma
+            P0 = P0 + d_sigma
+            P1 = P1 + td
+            P2 = P2 + t_row * td
+
+            g_cd = g_cd + jax.lax.dot_general(
+                G4s[s], w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_MM_PRECISION,
+            )                                            # (4, CHUNK)
+
+            new_prefix.append(prefix_inc[:, -1:])
+            new_T.append(jnp.min(jnp.where(active, t_inc, Ts[s]), axis=1, keepdims=True))
+
+        # Per-chunk epilogue: all positional grads from the moment planes.
+        #   U_k = dx0 P_k - pvx P_{k+1} resolves sum_s dx_s t_s^k d_sigma_s.
+        U1 = dx0 * P0 - pvx * P1
+        U2 = dy0 * P0 - pvy * P1
+        V1 = dx0 * P1 - pvx * P2
+        V2 = dy0 * P1 - pvy * P2
+        g_mx = -jnp.sum(ca * U1 + cb * U2, axis=0, keepdims=True)
+        g_my = -jnp.sum(cc * U2 + cb * U1, axis=0, keepdims=True)
+        g_pvx = -jnp.sum(ca * V1 + cb * V2, axis=0, keepdims=True)
+        g_pvy = -jnp.sum(cc * V2 + cb * V1, axis=0, keepdims=True)
+        g_ca = 0.5 * jnp.sum(dx0 * U1 - pvx * V1, axis=0, keepdims=True)
+        g_cc = 0.5 * jnp.sum(dy0 * U2 - pvy * V2, axis=0, keepdims=True)
+        g_cb = jnp.sum(dy0 * U1 - pvy * V1, axis=0, keepdims=True)
+        # d_op = sum expneg d_alpha = -inv_op * sum_s,p d_sigma (same masking)
+        g_op = -jnp.sum(P0, axis=0, keepdims=True) * inv_op
 
         grads = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_cols, d_op, d_dep, d_pvx, d_pvy,
-             jnp.zeros((NPARAM - 12, chunk), jnp.float32)],
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_cd[0:3], g_op, g_cd[3:4], g_pvx,
+             g_pvy, jnp.zeros((NPARAM - 12, chunk), jnp.float32)],
             axis=0,
         )                                            # (16, CHUNK)
         d_params_ref[0, :, pl.ds(base, chunk)] += grads
-
-        prefix = prefix_inc[:, -1:]
-        T = jnp.min(jnp.where(active, t_inc, T), axis=1, keepdims=True)
-        return i + 1, prefix, T
+        return i + 1, tuple(new_prefix), tuple(new_T)
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.zeros((npix, 1), jnp.float32),
-        jnp.ones((npix, 1), jnp.float32),
+        tuple(jnp.zeros((npix, 1), jnp.float32) for _ in range(n_samples)),
+        tuple(jnp.ones((npix, 1), jnp.float32) for _ in range(n_samples)),
     )
     jax.lax.while_loop(cond, body, init)
+
+
+GSUB = 32   # gaussians per group in the transposed (gaussian-on-sublane) layout
+
+
+def _fwd_kernel_gsub(counts_ref, scalars_ref, params_ref, out_ref, *,
+                     tile_size, tiles_x, img_h, n_samples, group=GSUB):
+    """Transposed-layout forward: gaussians on SUBLANES (groups of `group`),
+    pixels on LANES (npix wide).
+
+    Rationale (measured): tile Gaussian counts are heavily skewed (p50 ~26 vs
+    chunk 128 at the bench scene), so the (npix, 128) lane-major layout pays
+    for 128 gaussians whenever a tile has any. A (group, npix) block is 4x
+    finer in the gaussian axis at full vreg utilization (npix >= 128 lanes),
+    cutting both padding waste and the early-exit granularity to `group`.
+    """
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    rs_time = scalars_ref[0]
+    row_offset = scalars_ref[1]
+    npix = tile_size * tile_size
+    tx = (t % tiles_x) * tile_size
+    ty = (t // tiles_x) * tile_size
+    k_max = params_ref.shape[1]
+    n_groups = jnp.minimum((count + group - 1) // group, k_max // group)
+
+    # (1, npix) pixel rows: pixels live on lanes in this layout.
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    px = (tx + p % tile_size).astype(jnp.float32) + 0.5
+    py = (ty + p // tile_size).astype(jnp.float32) + 0.5
+    t_pix = rs_time * ((py + row_offset) / img_h - 0.5)
+    t_rows = [scalars_ref[2 + s] + t_pix for s in range(n_samples)]
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (group, group), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (group, group), 1)
+    Mexc = (c < r).astype(jnp.float32)   # strictly-lower: exclusive prefix
+
+    def cond(carry):
+        i = carry[0]
+        Ts = carry[3]
+        alive = jnp.array(False)
+        for s in range(n_samples):
+            alive |= jnp.max(Ts[s]) > T_EPS
+        return (i < n_groups) & alive
+
+    def body(carry):
+        i, rgb_accs, dep_accs, Ts = carry
+        base = i * group
+        sub = params_ref[0, pl.ds(base, group), :]   # (group, 16)
+        mx, my = sub[:, 0:1], sub[:, 1:2]            # (group, 1)
+        ca, cb, cc = sub[:, 2:3], sub[:, 3:4], sub[:, 4:5]
+        op = sub[:, 8:9]
+        pvx, pvy = sub[:, 10:11], sub[:, 11:12]
+        cols4 = jnp.concatenate([sub[:, 5:8], sub[:, 9:10]], axis=1)  # (group, 4)
+
+        dx0 = px - mx                                # (group, npix)
+        dy0 = py - my
+        A = 0.5 * (ca * dx0 * dx0 + cc * dy0 * dy0) + cb * dx0 * dy0
+        B = -(ca * dx0 * pvx + cb * (dx0 * pvy + dy0 * pvx) + cc * dy0 * pvy)
+        C = 0.5 * (ca * pvx * pvx + cc * pvy * pvy) + cb * pvx * pvy
+        j = base + jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
+        jmask = j < count
+
+        new_rgb, new_dep, new_T = [], [], []
+        for s in range(n_samples):
+            t_row = t_rows[s]
+            sigma = A + t_row * (B + t_row * C)
+            alpha_raw = op * jnp.exp(-sigma)
+            alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
+            mask = (sigma >= 0) & (alpha >= ALPHA_THRESH) & jmask
+            alpha = jnp.where(mask, alpha, 0.0)
+
+            cum = jax.lax.dot_general(
+                Mexc, jnp.log1p(-alpha), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # (group, npix) exclusive
+            t_exc = Ts[s] * jnp.exp(cum)
+            t_inc = t_exc * (1.0 - alpha)
+            active = t_exc > T_EPS
+            w = jnp.where(active, t_exc * alpha, 0.0)
+
+            acc = jax.lax.dot_general(
+                cols4, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_MM_PRECISION,
+            )                                        # (4, npix)
+            new_rgb.append(rgb_accs[s] + acc[0:3])
+            new_dep.append(dep_accs[s] + acc[3:4])
+            new_T.append(jnp.min(jnp.where(active, t_inc, Ts[s]), axis=0, keepdims=True))
+        return i + 1, tuple(new_rgb), tuple(new_dep), tuple(new_T)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        tuple(jnp.zeros((3, npix), jnp.float32) for _ in range(n_samples)),
+        tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(n_samples)),
+        tuple(jnp.ones((1, npix), jnp.float32) for _ in range(n_samples)),
+    )
+    _, rgb_accs, dep_accs, Ts = jax.lax.while_loop(cond, body, init)
+
+    for s in range(n_samples):
+        packed = jnp.concatenate(
+            [rgb_accs[s], dep_accs[s], Ts[s],
+             jnp.zeros((NOUT - 5, npix), jnp.float32)], axis=0,
+        )                                            # (8, npix)
+        out_ref[0, s] = packed
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_size", "tiles_x", "img_h", "group_width")
+)
+def rasterize_fwd_packed_gsub(
+    params_packed: jax.Array,   # (T, K, 16) — NOTE: transposed vs rasterize_fwd_packed
+    counts: jax.Array,
+    rs_time: jax.Array,
+    tile_size: int,
+    tiles_x: int,
+    img_h: int,
+    row_offset: jax.Array | float = 0.0,
+    eps: jax.Array | None = None,
+    group_width: int = GSUB,
+) -> jax.Array:                 # (T, S, 8, npix)
+    n_tiles, k, _ = params_packed.shape
+    assert k % group_width == 0, (k, group_width)
+    n_samples = 1 if eps is None else eps.shape[0]
+    npix = tile_size * tile_size
+    kernel = functools.partial(
+        _fwd_kernel_gsub, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
+        n_samples=n_samples, group=group_width,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, k, NPARAM), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    flops_per_gauss = npix * 30
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_samples, NOUT, npix), jnp.float32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n_tiles * n_samples * k * flops_per_gauss),
+            bytes_accessed=int(params_packed.size * 4 + n_tiles * n_samples * NOUT * npix * 4),
+            transcendentals=int(n_tiles * n_samples * k * npix * 2),
+        ),
+    )(counts, _scalar_vec(rs_time, row_offset, eps), params_packed)
 
 
 def _interpret() -> bool:
@@ -327,17 +558,18 @@ def rasterize_fwd_packed(
     npix = tile_size * tile_size
     kernel = functools.partial(
         _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
-        chunk=chunk_width,
+        n_samples=n_samples, chunk=chunk_width,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles, n_samples),
+        grid=(n_tiles,),
         in_specs=[
-            # Param block resident across the inner sample axis (index ignores s).
-            pl.BlockSpec((1, NPARAM, k), lambda t, s, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            # One grid step per tile; all S sub-frames render inside it from
+            # the resident param block (per-grid-step overhead paid once).
+            pl.BlockSpec((1, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, NOUT, npix), lambda t, s, *_: (t, s, 0, 0), memory_space=pltpu.VMEM
+            (1, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     flops_per_gauss = npix * 30
@@ -376,18 +608,18 @@ def rasterize_bwd_packed(
     npix = tile_size * tile_size
     kernel = functools.partial(
         _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
-        chunk=chunk_width,
+        n_samples=n_samples, chunk=chunk_width,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles, n_samples),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, NPARAM, k), lambda t, s, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NOUT, npix), lambda t, s, *_: (t, s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NOUT, npix), lambda t, s, *_: (t, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        # d block resident across the sample axis; accumulated in-kernel.
-        out_specs=pl.BlockSpec((1, NPARAM, k), lambda t, s, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        # One d block per tile, zeroed + accumulated across samples in-kernel.
+        out_specs=pl.BlockSpec((1, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,
