@@ -69,10 +69,6 @@ def timeit(name, fn, x=None):
     return dt
 
 
-from splat_tpu.ops.pallas.rasterize_kernels import rasterize_fwd_packed_gsub
-
-packed_g = jax.block_until_ready(jnp.take(table, idx, axis=0))  # (T, K, 16)
-
 for S in (1, 5):
     eps = jnp.linspace(-0.5, 0.5, S) * 0.06 if S > 1 else jnp.zeros((1,))
 
@@ -87,13 +83,3 @@ for S in (1, 5):
 
     timeit(f"pallas fwd S={S}", fwd)
     timeit(f"pallas bwd S={S}", bwd)
-
-    for gw in (32, 64):
-        def fwd_g(p, eps=eps, gw=gw):
-            return rasterize_fwd_packed_gsub(
-                p, counts, rs, TILE, tw, RES, 0.0, eps, group_width=gw)
-
-        out_g = jax.block_until_ready(fwd_g(packed_g))
-        err = float(jnp.max(jnp.abs(out_g - out)))
-        print(f"  gsub{gw} S={S} max|diff| vs chunk layout: {err:.2e}")
-        timeit(f"pallas fwd gsub{gw} S={S}", lambda p, f=fwd_g: f(p), x=packed_g)

@@ -78,6 +78,45 @@ def pack_param_table(
     return table
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_table(table, idx, entry_slots, max_per_tile):
+    """Per-tile parameter gather with a GATHER-form backward.
+
+    Forward: plain row gather table[idx] -> (T, K, 16).
+    Backward: instead of XLA's T*K-row scatter-add (measured 14.1 ms at 1M
+    slots — it internally sorts the indices every step), use the slot<->entry
+    bijection `entry_slots` prepared once by tiling.build_tile_lists: gather
+    each candidate entry's slot gradient (L=N*M rows) and dense-reduce over
+    the M axis. Deterministic, and ~3x cheaper because L << T*K and the sort
+    already happened at binning time."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _gather_table_fwd(table, idx, entry_slots, max_per_tile):
+    return jnp.take(table, idx, axis=0), (entry_slots, table.shape[0], idx.shape)
+
+
+def _gather_table_bwd(max_per_tile, res, g):
+    entry_slots, n_rows, idx_shape = res
+    k = max_per_tile
+    n_tiles, npar = g.shape[0], g.shape[2]
+    d_slots = g[:, :k, :].reshape(n_tiles * k, npar)
+    d_slots = jnp.concatenate([d_slots, jnp.zeros((1, npar), g.dtype)], axis=0)
+    d_entries = jnp.take(d_slots, entry_slots, axis=0)      # (N*M, 16)
+    n = n_rows - 1                                          # table row n = pad
+    m = entry_slots.shape[0] // n
+    d_table = d_entries.reshape(n, m, npar).sum(axis=1)
+    d_table = jnp.concatenate([d_table, jnp.zeros((1, npar), g.dtype)], axis=0)
+    return (
+        d_table,
+        np.zeros(idx_shape, jax.dtypes.float0),
+        np.zeros(entry_slots.shape, jax.dtypes.float0),
+    )
+
+
+_gather_table.defvjp(_gather_table_fwd, _gather_table_bwd)
+
+
 def rasterize_tiles_pallas(
     lists: tiling.TileLists,
     proj: ProjectedGaussians,
@@ -107,7 +146,7 @@ def rasterize_tiles_pallas(
     pad_k = (-k) % CHUNK
     if pad_k:
         idx = jnp.pad(idx, ((0, 0), (0, pad_k)), constant_values=n)
-    gathered = jnp.take(table, idx, axis=0)                # (T, K, 16)
+    gathered = _gather_table(table, idx, lists.entry_slots, k)  # (T, K, 16)
     packed = jnp.transpose(gathered, (0, 2, 1))            # (T, 16, K), fused
     eps_arr = jnp.zeros((1,), jnp.float32) if eps is None else jnp.asarray(eps, jnp.float32)
     out = _composite_packed(

@@ -66,6 +66,7 @@ NOUT = 8
 # DEFAULT is the default. Override via SPLAT_TPU_MM_PRECISION=highest for
 # numerics studies.
 import os as _os
+_EARLY_EXIT = _os.environ.get("SPLAT_TPU_EARLY_EXIT", "1") != "0"
 _MM_PRECISION = (
     jax.lax.Precision.HIGHEST
     if _os.environ.get("SPLAT_TPU_MM_PRECISION", "default").lower() == "highest"
@@ -125,7 +126,7 @@ _CUM_EXC = (
 )
 
 
-def _chunk_basis(params_ref, px, py, base, count, chunk=CHUNK):
+def _chunk_basis(params_ref, blk, px, py, base, count, chunk=CHUNK):
     """Per-chunk quantities shared by ALL blur sub-frames.
 
     The Gaussian exponent along the warp mean(t) = mean + pix_vel*t is a
@@ -134,7 +135,7 @@ def _chunk_basis(params_ref, px, py, base, count, chunk=CHUNK):
     so each sub-frame costs 2 FMA passes + one exp instead of a full
     re-evaluation — the chunk basis (A, B, C, dx0, dy0) is computed ONCE per
     chunk and amortized over the S unrolled samples."""
-    sub = params_ref[0, :, pl.ds(base, chunk)]   # (16, chunk)
+    sub = params_ref[blk, :, pl.ds(base, chunk)]   # (16, chunk)
     mx, my = sub[0:1], sub[1:2]          # (1, CHUNK)
     ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
     pvx, pvy = sub[10:11], sub[11:12]
@@ -160,8 +161,19 @@ def _sample_alpha(sub, A, B, C, jmask, t_row):
     return alpha, alpha_raw, mask
 
 
-def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tiles_x, img_h, n_samples, chunk=CHUNK):
-    t = pl.program_id(0)
+def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size,
+                tiles_x, img_h, n_samples, tiles_per_step, chunk=CHUNK):
+    # Several tiles per grid step: the Mosaic per-grid-step overhead
+    # (~0.8 us measured) is amortized across tiles_per_step tiles.
+    for blk in range(tiles_per_step):
+        _fwd_one_tile(counts_ref, scalars_ref, params_ref, out_ref,
+                      pl.program_id(0) * tiles_per_step + blk, blk,
+                      tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
+                      n_samples=n_samples, chunk=chunk)
+
+
+def _fwd_one_tile(counts_ref, scalars_ref, params_ref, out_ref, t, blk, *,
+                  tile_size, tiles_x, img_h, n_samples, chunk=CHUNK):
     count = counts_ref[t]
     rs_time = scalars_ref[0]
     row_offset = scalars_ref[1]
@@ -181,14 +193,16 @@ def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tile
         i = carry[0]
         t_alive = carry[2]
         alive = jnp.array(False)
-        for s in range(n_samples):
-            alive |= jnp.max(t_alive[s]) > T_EPS
-        return (i < n_chunks) & alive
+        if _EARLY_EXIT:
+            for s in range(n_samples):
+                alive |= jnp.max(t_alive[s]) > T_EPS
+            return (i < n_chunks) & alive
+        return i < n_chunks
 
     def body(carry):
         i, rgbd_accs, Ts = carry
         base = i * chunk
-        sub, _, _, A, B, C, jmask = _chunk_basis(params_ref, px, py, base, count, chunk)
+        sub, _, _, A, B, C, jmask = _chunk_basis(params_ref, blk, px, py, base, count, chunk)
         cols4 = jnp.concatenate([sub[5:8], sub[9:10]], axis=0)  # rgb+depth rows
 
         new_acc, new_T = [], []
@@ -222,14 +236,25 @@ def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size, tile
             [rgbd_accs_f[s], Ts_f[s].T, jnp.zeros((NOUT - 5, npix), jnp.float32)],
             axis=0,
         )                                            # (8, npix)
-        out_ref[0, s] = packed
+        out_ref[blk, s] = packed
 
 
 def _bwd_kernel(
     counts_ref, scalars_ref, params_ref, fwd_out_ref, g_out_ref, d_params_ref,
-    *, tile_size, tiles_x, img_h, n_samples, chunk=CHUNK,
+    *, tile_size, tiles_x, img_h, n_samples, tiles_per_step, chunk=CHUNK,
 ):
-    t = pl.program_id(0)
+    for blk in range(tiles_per_step):
+        _bwd_one_tile(counts_ref, scalars_ref, params_ref, fwd_out_ref,
+                      g_out_ref, d_params_ref,
+                      pl.program_id(0) * tiles_per_step + blk, blk,
+                      tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
+                      n_samples=n_samples, chunk=chunk)
+
+
+def _bwd_one_tile(
+    counts_ref, scalars_ref, params_ref, fwd_out_ref, g_out_ref, d_params_ref,
+    t, blk, *, tile_size, tiles_x, img_h, n_samples, chunk=CHUNK,
+):
     count = counts_ref[t]
     rs_time = scalars_ref[0]
     row_offset = scalars_ref[1]
@@ -243,7 +268,7 @@ def _bwd_kernel(
     # UNROLLED INSIDE the chunk loop: the chunk basis (A, B, C, dx0, dy0) is
     # shared across them and the per-sample gradients are summed in registers,
     # so the VMEM read-modify-write happens ONCE per chunk.
-    d_params_ref[0] = jnp.zeros_like(d_params_ref[0])
+    d_params_ref[blk] = jnp.zeros_like(d_params_ref[blk])
 
     px, py, t_pix = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, 0.0)
     t_rows = [scalars_ref[2 + s] + t_pix for s in range(n_samples)]
@@ -252,8 +277,8 @@ def _bwd_kernel(
     # A_total = sum_j w_j (c_j.dC + d_j dD) + T_final * dT, all from fwd outs).
     dCs, dDs, G4s, A_totals = [], [], [], []
     for s in range(n_samples):
-        fwd = fwd_out_ref[0, s]                 # (8, npix)
-        g = g_out_ref[0, s]                     # (8, npix)
+        fwd = fwd_out_ref[blk, s]               # (8, npix)
+        g = g_out_ref[blk, s]                   # (8, npix)
         dC = g[0:3].T                           # (npix, 3)
         dD = g[3:4].T                           # (npix, 1)
         dT = g[4:5].T                           # (npix, 1)
@@ -271,16 +296,17 @@ def _bwd_kernel(
 
     def cond(carry):
         i, _, Ts = carry
-        alive = (i < n_chunks)
-        any_t = jnp.array(False)
-        for s in range(n_samples):
-            any_t |= jnp.max(Ts[s]) > T_EPS
-        return alive & any_t
+        if _EARLY_EXIT:
+            any_t = jnp.array(False)
+            for s in range(n_samples):
+                any_t |= jnp.max(Ts[s]) > T_EPS
+            return (i < n_chunks) & any_t
+        return i < n_chunks
 
     def body(carry):
         i, prefixes, Ts = carry
         base = i * chunk
-        sub, dx0, dy0, A, B, C, jmask = _chunk_basis(params_ref, px, py, base, count, chunk)
+        sub, dx0, dy0, A, B, C, jmask = _chunk_basis(params_ref, blk, px, py, base, count, chunk)
         ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
         cols = sub[5:8]                             # (3, CHUNK)
         dep = sub[9:10]                             # (1, CHUNK)
@@ -363,7 +389,7 @@ def _bwd_kernel(
              g_pvy, jnp.zeros((NPARAM - 12, chunk), jnp.float32)],
             axis=0,
         )                                            # (16, CHUNK)
-        d_params_ref[0, :, pl.ds(base, chunk)] += grads
+        d_params_ref[blk, :, pl.ds(base, chunk)] += grads
         return i + 1, tuple(new_prefix), tuple(new_T)
 
     init = (
@@ -374,154 +400,12 @@ def _bwd_kernel(
     jax.lax.while_loop(cond, body, init)
 
 
-GSUB = 32   # gaussians per group in the transposed (gaussian-on-sublane) layout
-
-
-def _fwd_kernel_gsub(counts_ref, scalars_ref, params_ref, out_ref, *,
-                     tile_size, tiles_x, img_h, n_samples, group=GSUB):
-    """Transposed-layout forward: gaussians on SUBLANES (groups of `group`),
-    pixels on LANES (npix wide).
-
-    Rationale (measured): tile Gaussian counts are heavily skewed (p50 ~26 vs
-    chunk 128 at the bench scene), so the (npix, 128) lane-major layout pays
-    for 128 gaussians whenever a tile has any. A (group, npix) block is 4x
-    finer in the gaussian axis at full vreg utilization (npix >= 128 lanes),
-    cutting both padding waste and the early-exit granularity to `group`.
-    """
-    t = pl.program_id(0)
-    count = counts_ref[t]
-    rs_time = scalars_ref[0]
-    row_offset = scalars_ref[1]
-    npix = tile_size * tile_size
-    tx = (t % tiles_x) * tile_size
-    ty = (t // tiles_x) * tile_size
-    k_max = params_ref.shape[1]
-    n_groups = jnp.minimum((count + group - 1) // group, k_max // group)
-
-    # (1, npix) pixel rows: pixels live on lanes in this layout.
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
-    px = (tx + p % tile_size).astype(jnp.float32) + 0.5
-    py = (ty + p // tile_size).astype(jnp.float32) + 0.5
-    t_pix = rs_time * ((py + row_offset) / img_h - 0.5)
-    t_rows = [scalars_ref[2 + s] + t_pix for s in range(n_samples)]
-
-    r = jax.lax.broadcasted_iota(jnp.int32, (group, group), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (group, group), 1)
-    Mexc = (c < r).astype(jnp.float32)   # strictly-lower: exclusive prefix
-
-    def cond(carry):
-        i = carry[0]
-        Ts = carry[3]
-        alive = jnp.array(False)
-        for s in range(n_samples):
-            alive |= jnp.max(Ts[s]) > T_EPS
-        return (i < n_groups) & alive
-
-    def body(carry):
-        i, rgb_accs, dep_accs, Ts = carry
-        base = i * group
-        sub = params_ref[0, pl.ds(base, group), :]   # (group, 16)
-        mx, my = sub[:, 0:1], sub[:, 1:2]            # (group, 1)
-        ca, cb, cc = sub[:, 2:3], sub[:, 3:4], sub[:, 4:5]
-        op = sub[:, 8:9]
-        pvx, pvy = sub[:, 10:11], sub[:, 11:12]
-        cols4 = jnp.concatenate([sub[:, 5:8], sub[:, 9:10]], axis=1)  # (group, 4)
-
-        dx0 = px - mx                                # (group, npix)
-        dy0 = py - my
-        A = 0.5 * (ca * dx0 * dx0 + cc * dy0 * dy0) + cb * dx0 * dy0
-        B = -(ca * dx0 * pvx + cb * (dx0 * pvy + dy0 * pvx) + cc * dy0 * pvy)
-        C = 0.5 * (ca * pvx * pvx + cc * pvy * pvy) + cb * pvx * pvy
-        j = base + jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
-        jmask = j < count
-
-        new_rgb, new_dep, new_T = [], [], []
-        for s in range(n_samples):
-            t_row = t_rows[s]
-            sigma = A + t_row * (B + t_row * C)
-            alpha_raw = op * jnp.exp(-sigma)
-            alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
-            mask = (sigma >= 0) & (alpha >= ALPHA_THRESH) & jmask
-            alpha = jnp.where(mask, alpha, 0.0)
-
-            cum = jax.lax.dot_general(
-                Mexc, jnp.log1p(-alpha), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                        # (group, npix) exclusive
-            t_exc = Ts[s] * jnp.exp(cum)
-            t_inc = t_exc * (1.0 - alpha)
-            active = t_exc > T_EPS
-            w = jnp.where(active, t_exc * alpha, 0.0)
-
-            acc = jax.lax.dot_general(
-                cols4, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_MM_PRECISION,
-            )                                        # (4, npix)
-            new_rgb.append(rgb_accs[s] + acc[0:3])
-            new_dep.append(dep_accs[s] + acc[3:4])
-            new_T.append(jnp.min(jnp.where(active, t_inc, Ts[s]), axis=0, keepdims=True))
-        return i + 1, tuple(new_rgb), tuple(new_dep), tuple(new_T)
-
-    init = (
-        jnp.zeros((), jnp.int32),
-        tuple(jnp.zeros((3, npix), jnp.float32) for _ in range(n_samples)),
-        tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(n_samples)),
-        tuple(jnp.ones((1, npix), jnp.float32) for _ in range(n_samples)),
-    )
-    _, rgb_accs, dep_accs, Ts = jax.lax.while_loop(cond, body, init)
-
-    for s in range(n_samples):
-        packed = jnp.concatenate(
-            [rgb_accs[s], dep_accs[s], Ts[s],
-             jnp.zeros((NOUT - 5, npix), jnp.float32)], axis=0,
-        )                                            # (8, npix)
-        out_ref[0, s] = packed
-
-
-@functools.partial(
-    jax.jit, static_argnames=("tile_size", "tiles_x", "img_h", "group_width")
-)
-def rasterize_fwd_packed_gsub(
-    params_packed: jax.Array,   # (T, K, 16) — NOTE: transposed vs rasterize_fwd_packed
-    counts: jax.Array,
-    rs_time: jax.Array,
-    tile_size: int,
-    tiles_x: int,
-    img_h: int,
-    row_offset: jax.Array | float = 0.0,
-    eps: jax.Array | None = None,
-    group_width: int = GSUB,
-) -> jax.Array:                 # (T, S, 8, npix)
-    n_tiles, k, _ = params_packed.shape
-    assert k % group_width == 0, (k, group_width)
-    n_samples = 1 if eps is None else eps.shape[0]
-    npix = tile_size * tile_size
-    kernel = functools.partial(
-        _fwd_kernel_gsub, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
-        n_samples=n_samples, group=group_width,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, k, NPARAM), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    flops_per_gauss = npix * 30
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, n_samples, NOUT, npix), jnp.float32),
-        interpret=_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=int(n_tiles * n_samples * k * flops_per_gauss),
-            bytes_accessed=int(params_packed.size * 4 + n_tiles * n_samples * NOUT * npix * 4),
-            transcendentals=int(n_tiles * n_samples * k * npix * 2),
-        ),
-    )(counts, _scalar_vec(rs_time, row_offset, eps), params_packed)
+def _tiles_per_step(n_tiles: int, max_tps: int = 4) -> int:
+    """Largest power-of-two tile batch (<= max_tps) dividing the tile count."""
+    tps = 1
+    while tps * 2 <= max_tps and n_tiles % (tps * 2) == 0:
+        tps *= 2
+    return tps
 
 
 def _interpret() -> bool:
@@ -556,20 +440,21 @@ def rasterize_fwd_packed(
     assert k % chunk_width == 0, (k, chunk_width)
     n_samples = 1 if eps is None else eps.shape[0]
     npix = tile_size * tile_size
+    tps = _tiles_per_step(n_tiles)
     kernel = functools.partial(
         _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
-        n_samples=n_samples, chunk=chunk_width,
+        n_samples=n_samples, tiles_per_step=tps, chunk=chunk_width,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_tiles // tps,),
         in_specs=[
-            # One grid step per tile; all S sub-frames render inside it from
-            # the resident param block (per-grid-step overhead paid once).
-            pl.BlockSpec((1, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            # tps tiles per grid step; all S sub-frames of each render inside
+            # it from the resident param block (grid-step overhead amortized).
+            pl.BlockSpec((tps, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
+            (tps, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     flops_per_gauss = npix * 30
@@ -606,20 +491,21 @@ def rasterize_bwd_packed(
     assert k % chunk_width == 0, (k, chunk_width)
     n_samples = fwd_out.shape[1]
     npix = tile_size * tile_size
+    tps = _tiles_per_step(n_tiles)
     kernel = functools.partial(
         _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
-        n_samples=n_samples, chunk=chunk_width,
+        n_samples=n_samples, tiles_per_step=tps, chunk=chunk_width,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_tiles // tps,),
         in_specs=[
-            pl.BlockSpec((1, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tps, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tps, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tps, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         # One d block per tile, zeroed + accumulated across samples in-kernel.
-        out_specs=pl.BlockSpec((1, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tps, NPARAM, k), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,

@@ -70,6 +70,13 @@ class TileLists(NamedTuple):
     counts: jax.Array    # (num_tiles,) int32 number of valid entries
     overflow: jax.Array  # () int32: total entries dropped by max_per_tile
     clipped: jax.Array   # () int32: gaussians whose footprint rect was clamped
+    entry_slots: jax.Array  # (N * M,) int32: flat slot t*K + j each candidate
+                            # entry landed in, or T*K (dummy) if dropped. Row
+                            # e = i*M + k is entry k of gaussian i. This is the
+                            # slot<->entry bijection that lets the parameter-
+                            # gather VJP run as a GATHER in entry order + dense
+                            # (N, M) reduce instead of a T*K-row scatter-add
+                            # (measured 4.3 ms vs 14.1 ms at 1M slots).
 
 
 def num_tiles(img_w: int, img_h: int, tile_size: int) -> tuple[int, int]:
@@ -216,9 +223,11 @@ def build_tile_lists(
     flat_tiles = tile_ids.reshape(-1)
     flat_depths = depth_keys.reshape(-1)
     flat_ids = gauss_ids.reshape(-1)
+    n_entries = flat_tiles.shape[0]
+    entry_ids = jnp.arange(n_entries, dtype=jnp.int32)
 
-    sorted_tiles, _, sorted_ids = jax.lax.sort(
-        (flat_tiles, flat_depths, flat_ids), num_keys=2
+    sorted_tiles, _, sorted_ids, sorted_entry = jax.lax.sort(
+        (flat_tiles, flat_depths, flat_ids, entry_ids), num_keys=2
     )
 
     # Bin edges: one searchsorted per tile boundary.
@@ -229,19 +238,31 @@ def build_tile_lists(
     counts = jnp.minimum(counts_full, max_per_tile)
 
     # Dense gather of the first max_per_tile (closest) entries per tile. The
-    # per-tile ranges are CONTIGUOUS in the sorted array, so this is a batch of
-    # T dynamic slices (one ~KB row each), not T*K random element gathers —
-    # ~250x fewer gather rows (TPU gather cost is per-row, ~7 ns/row).
+    # per-tile ranges are CONTIGUOUS in the sorted array; a flat (T, K) gather
+    # measured faster than the vmap-of-dynamic-slice form (which lowers to a
+    # T-iteration XLA while loop, ~0.8 us/iteration).
     j = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     ids_padded = jnp.pad(sorted_ids, (0, max_per_tile))
-    idx = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(ids_padded, (s,), (max_per_tile,))
-    )(starts)
+    idx = jnp.take(ids_padded, starts[:, None] + j, axis=0)
     idx = jnp.where(j < counts[:, None], idx, -1)
+
+    # slot<->entry bijection for the gather-form parameter VJP: sorted position
+    # p holds entry sorted_entry[p] and lands in slot (tile, p - starts[tile])
+    # when it survived the per-tile cap; invert via a rank sort on entry id.
+    pos = jnp.arange(n_entries, dtype=jnp.int32)
+    t_of_pos = jnp.clip(sorted_tiles, 0, n_tiles - 1)
+    j_of_pos = pos - jnp.take(starts, t_of_pos)
+    slot_valid = (sorted_tiles < TILE_SENTINEL) & (j_of_pos < max_per_tile)
+    dummy = jnp.int32(n_tiles * max_per_tile)
+    slot_of_pos = jnp.where(
+        slot_valid, t_of_pos * max_per_tile + j_of_pos, dummy
+    )
+    _, slot_of_entry = jax.lax.sort((sorted_entry, slot_of_pos), num_keys=1)
 
     return TileLists(
         indices=idx,
         counts=counts,
         overflow=jnp.sum(counts_full - counts),
         clipped=jnp.sum(was_clipped.astype(jnp.int32)),
+        entry_slots=slot_of_entry,
     )
