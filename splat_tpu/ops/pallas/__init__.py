@@ -78,26 +78,37 @@ def pack_param_table(
     return table
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gather_table(table, idx, entry_slots, max_per_tile):
-    """Per-tile parameter gather with a GATHER-form backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gather_table(table, sorted_ids, starts, entry_slots, max_per_tile, k_pad):
+    """Per-tile parameter fetch straight from sorted order, with a GATHER-form
+    backward.
 
-    Forward: plain row gather table[idx] -> (T, K, 16).
+    Forward: one L-row gather puts the table rows in sorted (tile, depth)
+    order; each tile's slot block is then a contiguous (starts[t] + j) row
+    slice of it — no dense (T, K) id table is ever materialized (the id-table
+    gather alone traced at 7.5 ms for 1M slots). Lanes past a tile's count
+    pick up NEIGHBORING tiles' rows; the kernel's count mask zeroes both their
+    alpha and their gradients, so the garbage never escapes.
+
     Backward: instead of XLA's T*K-row scatter-add (measured 14.1 ms at 1M
     slots — it internally sorts the indices every step), use the slot<->entry
     bijection `entry_slots` prepared once by tiling.build_tile_lists: gather
     each candidate entry's slot gradient (L=N*M rows) and dense-reduce over
     the M axis. Deterministic, and ~3x cheaper because L << T*K and the sort
     already happened at binning time."""
-    return jnp.take(table, idx, axis=0)
+    sp = jnp.take(table, sorted_ids, axis=0)                # (L, 16)
+    sp = jnp.concatenate([sp, jnp.zeros((k_pad, sp.shape[1]), sp.dtype)], axis=0)
+    pos = starts[:, None] + jnp.arange(k_pad, dtype=jnp.int32)[None, :]
+    return jnp.take(sp, pos, axis=0)                        # (T, K_pad, 16)
 
 
-def _gather_table_fwd(table, idx, entry_slots, max_per_tile):
-    return jnp.take(table, idx, axis=0), (entry_slots, table.shape[0], idx.shape)
+def _gather_table_fwd(table, sorted_ids, starts, entry_slots, max_per_tile, k_pad):
+    out = _gather_table(table, sorted_ids, starts, entry_slots, max_per_tile, k_pad)
+    return out, (entry_slots, table.shape[0], sorted_ids.shape, starts.shape)
 
 
-def _gather_table_bwd(max_per_tile, res, g):
-    entry_slots, n_rows, idx_shape = res
+def _gather_table_bwd(max_per_tile, k_pad, res, g):
+    entry_slots, n_rows, ids_shape, starts_shape = res
     k = max_per_tile
     n_tiles, npar = g.shape[0], g.shape[2]
     d_slots = g[:, :k, :].reshape(n_tiles * k, npar)
@@ -109,7 +120,8 @@ def _gather_table_bwd(max_per_tile, res, g):
     d_table = jnp.concatenate([d_table, jnp.zeros((1, npar), g.dtype)], axis=0)
     return (
         d_table,
-        np.zeros(idx_shape, jax.dtypes.float0),
+        np.zeros(ids_shape, jax.dtypes.float0),
+        np.zeros(starts_shape, jax.dtypes.float0),
         np.zeros(entry_slots.shape, jax.dtypes.float0),
     )
 
@@ -126,6 +138,7 @@ def rasterize_tiles_pallas(
     img_h: int,
     tile_size: int,
     rs_time: jax.Array,
+    max_per_tile: int,
     rs_full_height: int | None = None,
     rs_row_offset: jax.Array | int = 0,
     eps: jax.Array | None = None,
@@ -139,14 +152,12 @@ def rasterize_tiles_pallas(
     eps is None.
     """
     tw, th = tiling.num_tiles(img_w, img_h, tile_size)
-    n = proj.means2d.shape[0]
     table = pack_param_table(proj, colors, opacities)
-    idx = jnp.where(lists.indices >= 0, lists.indices, n)  # pad -> zero row
-    k = idx.shape[1]
-    pad_k = (-k) % CHUNK
-    if pad_k:
-        idx = jnp.pad(idx, ((0, 0), (0, pad_k)), constant_values=n)
-    gathered = _gather_table(table, idx, lists.entry_slots, k)  # (T, K, 16)
+    k = max_per_tile
+    k_pad = k + ((-k) % CHUNK)
+    gathered = _gather_table(
+        table, lists.sorted_ids, lists.starts, lists.entry_slots, k, k_pad
+    )  # (T, K_pad, 16)
     packed = jnp.transpose(gathered, (0, 2, 1))            # (T, 16, K), fused
     eps_arr = jnp.zeros((1,), jnp.float32) if eps is None else jnp.asarray(eps, jnp.float32)
     out = _composite_packed(

@@ -212,6 +212,7 @@ def rasterize(
         proj.means2d, proj.extents, proj.depths, proj.valid,
         img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
         radius_pad=radius_pad, conics=proj.conics, opacities=op_eff,
+        materialize_indices=(impl != "pallas"),
     )
 
     if impl == "jnp":
@@ -225,6 +226,7 @@ def rasterize(
 
         rgb_t, dep_t, T_t = rasterize_tiles_pallas(
             lists, proj, colors, opacities, img_w, img_h, tile_size, rs,
+            max_per_tile,
             rs_full_height=rs_full_height, rs_row_offset=rs_row_offset,
         )
         # Single-sample render: drop the kernel's (S=1) sample axis.
@@ -289,6 +291,7 @@ def rasterize_fused(
         proj.means2d, proj.extents, proj.depths, proj.valid,
         img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
         radius_pad=radius_pad, conics=proj.conics, opacities=op_eff,
+        materialize_indices=(impl != "pallas"),
     )
 
     if impl == "jnp":
@@ -306,6 +309,7 @@ def rasterize_fused(
 
         rgb_t, dep_t, T_t = rasterize_tiles_pallas(
             lists, proj, colors, opacities, img_w, img_h, tile_size, rs,
+            max_per_tile,
             rs_full_height=rs_full_height, rs_row_offset=rs_row_offset,
             eps=eps,
         )

@@ -77,6 +77,8 @@ class TileLists(NamedTuple):
                             # gather VJP run as a GATHER in entry order + dense
                             # (N, M) reduce instead of a T*K-row scatter-add
                             # (measured 4.3 ms vs 14.1 ms at 1M slots).
+    sorted_ids: jax.Array   # (N * M,) int32 gaussian id per sorted position
+    starts: jax.Array       # (num_tiles,) int32 first sorted position per tile
 
 
 def num_tiles(img_w: int, img_h: int, tile_size: int) -> tuple[int, int]:
@@ -140,7 +142,9 @@ def gaussian_tile_rects(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("img_w", "img_h", "tile_size", "max_per_tile", "max_tiles_per_gaussian")
+    jax.jit,
+    static_argnames=("img_w", "img_h", "tile_size", "max_per_tile",
+                     "max_tiles_per_gaussian", "materialize_indices"),
 )
 def build_tile_lists(
     means2d: jax.Array,
@@ -156,6 +160,7 @@ def build_tile_lists(
     conics: jax.Array | None = None,
     opacities: jax.Array | None = None,
     alpha_thresh: float = 1.0 / 255.0,
+    materialize_indices: bool = True,
 ) -> TileLists:
     """Build dense per-tile, depth-sorted Gaussian index lists.
 
@@ -237,14 +242,17 @@ def build_tile_lists(
     counts_full = ends - starts
     counts = jnp.minimum(counts_full, max_per_tile)
 
-    # Dense gather of the first max_per_tile (closest) entries per tile. The
-    # per-tile ranges are CONTIGUOUS in the sorted array; a flat (T, K) gather
-    # measured faster than the vmap-of-dynamic-slice form (which lowers to a
-    # T-iteration XLA while loop, ~0.8 us/iteration).
-    j = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-    ids_padded = jnp.pad(sorted_ids, (0, max_per_tile))
-    idx = jnp.take(ids_padded, starts[:, None] + j, axis=0)
-    idx = jnp.where(j < counts[:, None], idx, -1)
+    if materialize_indices:
+        # Dense (T, K) id table for the jnp/oracle paths. The per-tile ranges
+        # are CONTIGUOUS in the sorted array; the pallas path skips this
+        # (traced at 7.5 ms for 1M slots) and slices parameters directly from
+        # sorted order via `sorted_ids`/`starts`.
+        j = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+        ids_padded = jnp.pad(sorted_ids, (0, max_per_tile))
+        idx = jnp.take(ids_padded, starts[:, None] + j, axis=0)
+        idx = jnp.where(j < counts[:, None], idx, -1)
+    else:
+        idx = None
 
     # slot<->entry bijection for the gather-form parameter VJP: sorted position
     # p holds entry sorted_entry[p] and lands in slot (tile, p - starts[tile])
@@ -265,4 +273,6 @@ def build_tile_lists(
         overflow=jnp.sum(counts_full - counts),
         clipped=jnp.sum(was_clipped.astype(jnp.int32)),
         entry_slots=slot_of_entry,
+        sorted_ids=sorted_ids,
+        starts=starts,
     )
