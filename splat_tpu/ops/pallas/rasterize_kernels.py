@@ -275,20 +275,17 @@ def _bwd_one_tile(
 
     # Per-sample cotangents + the total-contribution constant (residual trick:
     # A_total = sum_j w_j (c_j.dC + d_j dD) + T_final * dT, all from fwd outs).
-    dCs, dDs, G4s, A_totals = [], [], [], []
+    # Everything stays in the (8, npix) ROW layout of the out blocks — the
+    # matmuls below contract the row axis directly, so the only lane<->sublane
+    # relayout is the single (1, npix) -> (npix, 1) transpose of A_total.
+    dC4s, A_totals = [], []
     for s in range(n_samples):
         fwd = fwd_out_ref[blk, s]               # (8, npix)
         g = g_out_ref[blk, s]                   # (8, npix)
-        dC = g[0:3].T                           # (npix, 3)
-        dD = g[3:4].T                           # (npix, 1)
-        dT = g[4:5].T                           # (npix, 1)
-        A_totals.append(
-            jnp.sum(fwd[0:3].T * dC, axis=1, keepdims=True)
-            + fwd[3:4].T * dD + fwd[4:5].T * dT
-        )
-        dCs.append(dC)
-        dDs.append(dD)
-        G4s.append(jnp.concatenate([dC, dD], axis=1))   # (npix, 4)
+        dC4 = g[0:4]                            # (4, npix) rgb+depth cotangents
+        a_row = jnp.sum(fwd[0:4] * dC4, axis=0, keepdims=True) + fwd[4:5] * g[4:5]
+        A_totals.append(a_row.T)                # (npix, 1)
+        dC4s.append(dC4)
 
     r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -308,8 +305,7 @@ def _bwd_one_tile(
         base = i * chunk
         sub, dx0, dy0, A, B, C, jmask = _chunk_basis(params_ref, blk, px, py, base, count, chunk)
         ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
-        cols = sub[5:8]                             # (3, CHUNK)
-        dep = sub[9:10]                             # (1, CHUNK)
+        cols4 = jnp.concatenate([sub[5:8], sub[9:10]], axis=0)  # (4, CHUNK)
         op = sub[8:9]
         pvx, pvy = sub[10:11], sub[11:12]
         inv_op = pl.reciprocal(jnp.maximum(op, 1e-12), approx=False)
@@ -334,12 +330,12 @@ def _bwd_one_tile(
             active = t_exc > T_EPS
             w = jnp.where(active, t_exc * alpha, 0.0)   # (npix, CHUNK)
 
-            # per-gaussian-and-pixel loss sensitivity v_i = c_i.dC + d_i dD
-            # (measured: the MXU K=3 form beats a VPU broadcast outer-product)
+            # per-gaussian-and-pixel loss sensitivity v_i = c_i.dC + d_i dD —
+            # one K=4 contraction over the shared row axis (depth rides along)
             v = jax.lax.dot_general(
-                dCs[s], cols, (((1,), (0,)), ((), ())),
+                dC4s[s], cols4, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_MM_PRECISION,
-            ) + dDs[s] * dep                             # (npix, CHUNK)
+            )                                            # (npix, CHUNK)
 
             contrib = w * v                              # (npix, CHUNK)
             prefix_inc = prefixes[s] + jax.lax.dot_general(
@@ -349,19 +345,19 @@ def _bwd_one_tile(
             )                                            # (npix, CHUNK) inclusive
             S = A_totals[s] - prefix_inc                 # suffix incl. T_final*dT
 
+            # d_sigma = -alpha*d_alpha with d_alpha = t_exc v - S/(1-alpha);
+            # alpha*t_exc*v = w*v = contrib (already computed for the prefix).
+            # Grad 0 at the alpha clamp and outside the compositing mask.
             one_m = jnp.maximum(1.0 - alpha, 1e-6)
-            d_alpha = jnp.where(active, t_exc * v - S / one_m, 0.0)
-
-            # chain through alpha = min(0.999, op*exp(-sigma)); grad 0 at clamp
-            live = mask & (alpha_raw < MAX_ALPHA)
-            d_sigma = jnp.where(live, -alpha * d_alpha, 0.0)   # (npix, CHUNK)
+            live = active & mask & (alpha_raw < MAX_ALPHA)
+            d_sigma = jnp.where(live, alpha * (S / one_m) - contrib, 0.0)
             td = t_row * d_sigma
             P0 = P0 + d_sigma
             P1 = P1 + td
             P2 = P2 + t_row * td
 
             g_cd = g_cd + jax.lax.dot_general(
-                G4s[s], w, (((0,), (0,)), ((), ())),
+                dC4s[s], w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_MM_PRECISION,
             )                                            # (4, CHUNK)
 
