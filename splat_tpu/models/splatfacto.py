@@ -92,6 +92,15 @@ class SplatfactoConfig:
     # auto -> pallas kernels on TPU, jnp tile path elsewhere (pallas interpret
     # mode on CPU is far slower than the vmapped jnp path)
     impl: str = "auto"                         # auto | jnp | pallas
+    # --- 'gauss' mesh-axis strategy (parallel.sharding) ---
+    # gather: ZeRO-style — params stay sharded, the 16-float rasterization
+    #         table is all-gathered; every device composites the full cloud.
+    # slab:   depth-slab compute sharding — the table is all_to_all-exchanged
+    #         into per-device depth-quantile slabs; each device composites
+    #         only its slab and the per-slab images merge with the
+    #         associative over-operator (exact; compositing scales 1/n).
+    gauss_shard_mode: str = "gather"           # gather | slab
+    slab_slack: float = 2.0                    # slab bucket capacity headroom
     # --- capacity ---
     initial_capacity: int = 0                  # 0 = auto from seed points
 

@@ -154,6 +154,7 @@ def _render_strip_linear(
     eps_local: jax.Array,
     means2d_probe: jax.Array | None = None,
     gauss_axis: str | None = None,
+    gauss_shards: int = 1,
 ):
     """Linear-space rgb sum over the local blur sub-frames for one row strip.
 
@@ -236,6 +237,23 @@ def _render_strip_linear(
             t_anchor = eps_local.mean()
         proj, colors = subframe_inputs(t_anchor)
         local_opac = opac
+        if gauss_axis is not None and config.gauss_shard_mode == "slab":
+            # Depth-slab COMPUTE sharding: each device bins/composites only
+            # its depth-quantile slab (all_to_all of the packed table), then
+            # the per-slab images merge with the associative over-operator —
+            # compositing work scales 1/n_gauss instead of being replicated.
+            proj, colors, local_opac, _overflow = _depth_slab_exchange(
+                proj, colors, opac, gauss_axis, gauss_shards,
+                slack=config.slab_slack,
+            )
+            out = rasterize.rasterize_fused(
+                proj, colors, local_opac, w, strip_h,
+                jnp.zeros_like(background),
+                eps=eps_local - t_anchor, **raster_kw
+            )
+            rgb, T = _combine_depth_slabs(out.rgb, out.transmittance, gauss_axis)
+            rgb = rgb + T[..., None] * background
+            return rgb.sum(axis=0), eps_local.shape[0]
         if gauss_axis is not None:
             proj, colors, local_opac = _all_gather_projected(
                 proj, colors, opac, gauss_axis
@@ -250,6 +268,107 @@ def _render_strip_linear(
     # exact mode — lax.map compiles the sub-frame body once (see models note)
     rgbs = jax.lax.map(render_subframe, eps_local)   # (S_local, strip_h, W, 3)
     return rgbs.sum(axis=0), eps_local.shape[0]
+
+
+def _depth_slab_exchange(
+    proj: "projection.ProjectedGaussians",
+    colors: jax.Array,
+    opacities: jax.Array,
+    axis: str,
+    n_shards: int,
+    slack: float = 2.0,
+):
+    """Re-shard the packed rasterization table by DEPTH SLAB (all_to_all).
+
+    Compute sharding for scenes where even the gathered table is too large or
+    the compositing work itself must scale: device k ends up holding the k-th
+    global depth-quantile slab of gaussians and composites ONLY those over the
+    (full or strip) image; slabs then merge with the associative front-to-back
+    over-operator (see the caller). Because any depth-monotone partition
+    splits the global (tile, depth) sort into contiguous runs, the combined
+    image is EXACT vs the single-device composite (same order, same math).
+
+    Mechanics: global 256-bin depth histogram (one psum) -> per-bin slab ids
+    (quantile load balance at bin granularity) -> local stable sort by slab ->
+    fixed-capacity (n_shards, C, 18) buckets -> lax.all_to_all. Overflowed
+    rows (beyond C = slack * N_loc / n_shards) are dropped and counted; the
+    transpose of the exchange routes slab-gradient rows straight back to the
+    owning shard.
+    """
+    from ..ops.pallas import pack_param_table
+
+    table = pack_param_table(proj, colors, opacities)[:-1]   # (N_loc, 16)
+    rows = jnp.concatenate([table, proj.extents], axis=1)    # (N_loc, 18)
+    n_loc, n_col = rows.shape
+    d = n_shards
+    depth = jax.lax.stop_gradient(table[:, 9])
+    live = jax.lax.stop_gradient(table[:, 8]) > 0
+    big = jnp.float32(3.0e38)
+    dmin = jax.lax.pmin(jnp.min(jnp.where(live, depth, big)), axis)
+    dmax = jax.lax.pmax(jnp.max(jnp.where(live, depth, -big)), axis)
+
+    nbins = 256
+    scale = (nbins - 1) / jnp.maximum(dmax - dmin, 1e-9)
+    b = jnp.clip(((depth - dmin) * scale).astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros((nbins,), jnp.int32).at[
+        jnp.where(live, b, nbins)
+    ].add(1, mode="drop")
+    hist = jax.lax.psum(hist, axis)
+    prefix = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)[:-1]])
+    total = jnp.maximum(jnp.sum(hist), 1)
+    bin_slab = jnp.clip(prefix * d // total, 0, d - 1)       # (nbins,) monotone
+    slab = jnp.where(live, jnp.take(bin_slab, b), d)         # dead -> dropped
+
+    order = jnp.argsort(slab, stable=True)
+    slab_sorted = jnp.take(slab, order)
+    rows_sorted = jnp.take(rows, order, axis=0)
+    edges = jnp.searchsorted(
+        slab_sorted, jnp.arange(d + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    cnt = edges[1:] - edges[:-1]
+
+    c_send = min(n_loc, max(8, int(-(-slack * n_loc // (8 * d)) * 8)))
+    j = jnp.arange(c_send, dtype=jnp.int32)[None, :]
+    idx = edges[:-1, None] + j
+    valid = j < jnp.minimum(cnt, c_send)[:, None]
+    rows_pad = jnp.concatenate(
+        [rows_sorted, jnp.zeros((c_send, n_col), rows.dtype)], axis=0
+    )
+    send = jnp.where(valid[..., None], jnp.take(rows_pad, idx, axis=0), 0.0)
+    overflow = jax.lax.psum(jnp.sum(jnp.maximum(cnt - c_send, 0)), axis)
+
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    rows_recv = recv.reshape(d * c_send, n_col)              # this device's slab
+
+    op_eff = rows_recv[:, 8]
+    synth = projection.ProjectedGaussians(
+        means2d=rows_recv[:, 0:2],
+        depths=rows_recv[:, 9],
+        conics=rows_recv[:, 2:5],
+        radii=jnp.max(rows_recv[:, 16:18], axis=-1),
+        compensations=jnp.ones_like(op_eff),
+        pix_vels=rows_recv[:, 10:12],
+        valid=op_eff > 0,                                    # pad rows culled
+        extents=rows_recv[:, 16:18],
+    )
+    return synth, rows_recv[:, 5:8], op_eff, overflow
+
+
+def _combine_depth_slabs(rgb_local, T_local, axis):
+    """Merge per-slab premultiplied composites with the associative over-op.
+
+    rgb_local (S, h, w, 3) WITHOUT background; T_local (S, h, w). Device order
+    along `axis` == slab depth order, so
+      rgb = sum_k (prod_{j<k} T_j) rgb_k,  T = prod_k T_k
+    reproduces the unsharded front-to-back composite exactly."""
+    rgbs = jax.lax.all_gather(rgb_local, axis)               # (D, S, h, w, 3)
+    Ts = jax.lax.all_gather(T_local, axis)                   # (D, S, h, w)
+    T_exc = jnp.concatenate(
+        [jnp.ones_like(Ts[:1]), jnp.cumprod(Ts[:-1], axis=0)], axis=0
+    )
+    rgb = jnp.sum(T_exc[..., None] * rgbs, axis=0)           # (S, h, w, 3)
+    T = jnp.prod(Ts, axis=0)
+    return rgb, T
 
 
 def _all_gather_projected(
@@ -334,6 +453,7 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
             params, camera, config, sh_deg, bg, strip_h, row0, eps_local,
             means2d_probe=probe if with_probe else None,
             gauss_axis=gauss_axis,
+            gauss_shards=mesh.shape.get("gauss", 1),
         )
         # mean over ALL sub-frames: psum over the blur axis
         rgb_mean = jax.lax.psum(rgb_sum, "blur") / s_total

@@ -146,6 +146,50 @@ def test_gauss_sharded_grads_match_single_device():
     assert float(jnp.abs(gp).sum()) > 0  # probe grads flow through the gather
 
 
+@pytest.mark.parametrize("n_gauss,n_blur,n_tile", [(2, 2, 1), (4, 1, 2), (8, 1, 1)])
+def test_depth_slab_sharded_loss_matches_single_device(n_gauss, n_blur, n_tile):
+    """Depth-slab compute sharding: the all_to_all quantile exchange + the
+    associative over-combine must reproduce the single-device fused composite
+    (any depth-monotone partition preserves the global sort order)."""
+    params, cfg, cam, gt = make_setup(n=60)
+    cfg = dataclasses.replace(cfg, gauss_shard_mode="slab")
+    mesh = sharding.make_mesh(n_blur, n_tile, n_gauss=n_gauss)
+    loss_fn = sharding.make_sharded_loss(cfg, mesh, with_probe=False)
+    probe = jnp.zeros_like(params.gaussians.means[:, :2])
+    sharded = float(jax.jit(loss_fn)(params, cam, gt, probe))
+    single = float(single_device_loss(params, cfg, cam, gt))
+    if n_tile == 1:
+        np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+    else:
+        np.testing.assert_allclose(sharded, single, rtol=0.05, atol=0.01)
+
+
+def test_depth_slab_sharded_grads_match_single_device():
+    params, cfg, cam, gt = make_setup(n=60)
+    cfg = dataclasses.replace(cfg, ssim_lambda=0.0, gauss_shard_mode="slab")
+    mesh = sharding.make_mesh(1, 1, n_gauss=4)
+    loss_fn = sharding.make_sharded_loss(cfg, mesh, with_probe=False)
+    probe = jnp.zeros_like(params.gaussians.means[:, :2])
+    g_sh = jax.jit(
+        jax.grad(lambda p: loss_fn(p, cam, gt, probe))
+    )(params)
+    g_si = jax.jit(jax.grad(lambda p: single_device_loss(p, cfg, cam, gt)))(params)
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_si)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
+
+
+def test_depth_slab_overflow_drops_are_counted_not_fatal():
+    """With slack < 1 the buckets overflow; the loss must still evaluate
+    (dropped rows, not a crash) and differ from the exact value."""
+    params, cfg, cam, gt = make_setup(n=60)
+    cfg = dataclasses.replace(cfg, gauss_shard_mode="slab", slab_slack=0.2)
+    mesh = sharding.make_mesh(1, 1, n_gauss=8)
+    loss_fn = sharding.make_sharded_loss(cfg, mesh, with_probe=False)
+    probe = jnp.zeros_like(params.gaussians.means[:, :2])
+    val = float(jax.jit(loss_fn)(params, cam, gt, probe))
+    assert np.isfinite(val)
+
+
 def test_data_axis_camera_batch_matches_mean_of_singles():
     """'data' axis (multi-host DCN axis): a batch of B cameras trains in one
     step; the loss is the mean of per-camera losses."""
