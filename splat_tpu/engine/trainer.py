@@ -59,6 +59,11 @@ class TrainerConfig:
     # dispatch pipelines (a per-step sync costs a full host round-trip — ~50 ms
     # over this box's TPU tunnel; step_ms percentiles aggregate whole windows)
     sync_every: int = 10
+    # >1: run this many consecutive steps per device dispatch via lax.scan
+    # (make_train_scan) — amortizes host dispatch latency; numerically
+    # identical step sequence. Blocks shrink to 1 around refine/eval-opt/
+    # resolution boundaries.
+    scan_steps: int = 1
     # buffer donation in the train step; fit.py disables it for --vis viewer
     # (a concurrent reader must not see donated-away params)
     donate_buffers: bool = True
@@ -107,6 +112,38 @@ def build_optimizer(params: sf.ModelParams, tc: TrainerConfig) -> optax.Gradient
     return optax.multi_transform(txs, param_labels(params))
 
 
+def _train_step_body(config, optimizer, params, opt_state, strat_state,
+                     camera, gt, step, key):
+    """One training step: render -> loss -> grads -> update -> densify stats."""
+    sh_deg = sf.active_sh_degree(config, step)
+    probe = jnp.zeros_like(params.gaussians.means[:, :2])
+
+    def loss_fn(p, probe):
+        # background from the DIFFERENTIATED params — computing it outside
+        # would silently freeze the learnable background (auto mode)
+        bg = sf.background_color(p, config, key)
+        out = sf.render_camera(
+            p, camera, config, sh_deg, bg, means2d_probe=probe
+        )
+        pred = sf.gamma_encode(out.rgb, config)
+        loss, aux = sf.compute_losses(pred, gt, p, config)
+        return loss, aux
+
+    (loss, aux), (grads, probe_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, probe)
+
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    visible = jnp.linalg.norm(probe_grad, axis=-1) > 0
+    strat_state = st.accumulate_grads(
+        strat_state, probe_grad, visible, camera.width, camera.height
+    )
+    aux = dict(aux)
+    aux["n_visible"] = visible.sum()
+    return params, opt_state, strat_state, loss, aux
+
+
 def make_train_step(
     config: sf.SplatfactoConfig, optimizer: optax.GradientTransformation,
     donate: bool = True,
@@ -119,35 +156,49 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def train_step(params, opt_state, strat_state, camera, gt, step, key):
-        sh_deg = sf.active_sh_degree(config, step)
-        probe = jnp.zeros_like(params.gaussians.means[:, :2])
-
-        def loss_fn(p, probe):
-            # background from the DIFFERENTIATED params — computing it outside
-            # would silently freeze the learnable background (auto mode)
-            bg = sf.background_color(p, config, key)
-            out = sf.render_camera(
-                p, camera, config, sh_deg, bg, means2d_probe=probe
-            )
-            pred = sf.gamma_encode(out.rgb, config)
-            loss, aux = sf.compute_losses(pred, gt, p, config)
-            return loss, aux
-
-        (loss, aux), (grads, probe_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, probe)
-
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        visible = jnp.linalg.norm(probe_grad, axis=-1) > 0
-        strat_state = st.accumulate_grads(
-            strat_state, probe_grad, visible, camera.width, camera.height
+        return _train_step_body(
+            config, optimizer, params, opt_state, strat_state, camera, gt,
+            step, key,
         )
-        aux = dict(aux)
-        aux["n_visible"] = visible.sum()
-        return params, opt_state, strat_state, loss, aux
 
     return train_step
+
+
+def make_train_scan(
+    config: sf.SplatfactoConfig, optimizer: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Jitted MULTI-STEP driver: a lax.scan over B consecutive train steps.
+
+    One dispatch per block instead of per step — host dispatch latency (tens
+    of ms on remote-tunnel setups, ~0.1 ms even locally) and per-step Python
+    overhead amortize across the block, and XLA overlaps the next step's
+    host-independent work with the previous one. Steps inside a block are
+    numerically IDENTICAL to the one-at-a-time path (same per-step cameras,
+    keys and schedule steps, threaded through scan xs).
+
+    cameras arrives as a stacked Cameras pytree (leading axis B), gts as
+    (B, H, W, 3), steps/keys as (B, ...). Returns stacked per-step losses and
+    n_visible plus the final states.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def train_scan(params, opt_state, strat_state, cameras, gts, steps, keys):
+        def body(carry, xs):
+            params, opt_state, strat_state = carry
+            cam, gt, step, key = xs
+            params, opt_state, strat_state, loss, aux = _train_step_body(
+                config, optimizer, params, opt_state, strat_state, cam, gt,
+                step, key,
+            )
+            return (params, opt_state, strat_state), (loss, aux["n_visible"])
+
+        (params, opt_state, strat_state), (losses, n_vis) = jax.lax.scan(
+            body, (params, opt_state, strat_state), (cameras, gts, steps, keys)
+        )
+        return params, opt_state, strat_state, losses, n_vis
+
+    return train_scan
 
 
 def make_eval_opt_step(
@@ -250,6 +301,10 @@ class Trainer:
             self.params.gaussians.alive.shape[0], tc.seed
         )
         self.train_step = make_train_step(cfg, self.optimizer, donate=tc.donate_buffers)
+        self.train_scan = (
+            make_train_scan(cfg, self.optimizer, donate=tc.donate_buffers)
+            if tc.scan_steps > 1 else None
+        )
         self.refine = st.make_refine(cfg)
         self.reset_opacity = st.make_reset_opacity(cfg)
         if cfg.optimize_eval_cameras and self.params.eval_camera_opt:
@@ -318,35 +373,99 @@ class Trainer:
             return True
         return False
 
+    def _scan_block_size(self, remaining: int) -> int:
+        """Largest step count runnable as ONE lax.scan dispatch from here:
+        capped by scan_steps and the next host-side event (refine, eval-cam
+        optimization, progressive-resolution change)."""
+        cfg, tc = self.model_config, self.trainer_config
+        s = self.step
+        b = min(tc.scan_steps, remaining)
+        b = min(b, cfg.refine_every - (s % cfg.refine_every))
+        if self.eval_opt_state is not None and len(self.eval_cams) > 0:
+            d = (-s) % tc.eval_opt_every
+            b = min(b, d if d > 0 else 1)
+        if cfg.num_downscales > 0:
+            b = min(b, cfg.resolution_schedule - (s % cfg.resolution_schedule))
+        return max(1, b)
+
+    def _next_camera_index(self, n_train: int) -> int:
+        """Shuffled epoch order; consumes the SAME key sequence on both the
+        per-step and the scan paths so they train identically."""
+        i = self.step % n_train
+        if i == 0 or self._order is None:
+            self.key, k = jax.random.split(self.key)
+            self._order = np.asarray(jax.random.permutation(k, n_train))
+        return int(self._order[i])
+
     def run(self, max_steps: int | None = None, progress_cb: Callable | None = None):
         cfg, tc = self.model_config, self.trainer_config
         n_train = len(self.train_cams)
         steps = max_steps if max_steps is not None else tc.max_steps
-        order = None
+        self._order = None
         t0 = time.time()
-        for it in range(steps):
-            i = self.step % n_train
-            if i == 0 or order is None:
-                self.key, k = jax.random.split(self.key)
-                order = np.asarray(jax.random.permutation(k, n_train))
-            ci = int(order[i])
+        it = 0
+        while it < steps:
             level = self._resolution_level()
             level_cams, level_imgs = self._level_data(level)
-            cam = level_cams[ci]
-            gt = jnp.asarray(level_imgs[ci])
-            self.key, k = jax.random.split(self.key)
-            self.timer.start()
-            (self.params, self.opt_state, self.strat_state, loss, aux) = self.train_step(
-                self.params, self.opt_state, self.strat_state, cam, gt,
-                jnp.asarray(self.step), k,
-            )
-            if (
-                (self.step + 1) % tc.sync_every == 0
-                or it + 1 == steps  # end of this run() chunk, not global step
-                or (self.step + 1) % cfg.refine_every == 0
-            ):
-                jax.block_until_ready(loss)
-            self.timer.stop()
+            block = self._scan_block_size(steps - it)
+            if self.train_scan is not None and block == tc.scan_steps > 1:
+                # multi-step dispatch: scan over the next `block` steps
+                idxs, keys = [], []
+                for b in range(block):
+                    # replicate the single-step sampling exactly
+                    i = (self.step + b) % n_train
+                    if i == 0 or self._order is None:
+                        self.key, k = jax.random.split(self.key)
+                        self._order = np.asarray(jax.random.permutation(k, n_train))
+                    idxs.append(int(self._order[i]))
+                    self.key, k = jax.random.split(self.key)
+                    keys.append(k)
+                arr = np.asarray(idxs)
+                cams_b = level_cams[arr[:, None]]        # leaves (B, 1, ...)
+                gts_b = jnp.asarray(level_imgs[arr])
+                steps_b = jnp.arange(self.step, self.step + block)
+                keys_b = jnp.stack(keys)
+                self.timer.start()
+                (self.params, self.opt_state, self.strat_state, losses, _nv) = (
+                    self.train_scan(
+                        self.params, self.opt_state, self.strat_state,
+                        cams_b, gts_b, steps_b, keys_b,
+                    )
+                )
+                jax.block_until_ready(losses)
+                self.timer.stop()
+                # spread the block wall time over its steps for the summary
+                bt = self.timer.times.pop()
+                self.timer.times.extend([bt / block] * block)
+                loss = losses[-1]
+                for b in range(block - 1):
+                    if (self.step + b + 1) % tc.log_every == 0:
+                        self.history.append({
+                            "step": self.step + b + 1,
+                            "loss": float(losses[b]),
+                            "n_alive": int(self.params.gaussians.alive.sum()),
+                            "wall_s": time.time() - t0,
+                            **self.timer.summary(last_n=tc.log_every),
+                        })
+                self.step += block - 1   # final increment below, shared path
+                it += block - 1
+            else:
+                ci = self._next_camera_index(n_train)
+                cam = level_cams[ci]
+                gt = jnp.asarray(level_imgs[ci])
+                self.key, k = jax.random.split(self.key)
+                self.timer.start()
+                (self.params, self.opt_state, self.strat_state, loss, aux) = self.train_step(
+                    self.params, self.opt_state, self.strat_state, cam, gt,
+                    jnp.asarray(self.step), k,
+                )
+                if (
+                    (self.step + 1) % tc.sync_every == 0
+                    or it + 1 == steps  # end of this run() chunk, not global step
+                    or (self.step + 1) % cfg.refine_every == 0
+                ):
+                    jax.block_until_ready(loss)
+                self.timer.stop()
 
             # eval-camera optimization (scene frozen)
             if (
@@ -391,6 +510,7 @@ class Trainer:
                 self.history.append(rec)
                 if progress_cb:
                     progress_cb(rec)
+            it += 1
         return self.history
 
     def _refine_gaussians(self):

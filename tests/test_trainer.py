@@ -1,5 +1,7 @@
 import dataclasses
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -48,6 +50,47 @@ def test_training_improves_psnr(fixture_scene):
     assert m["psnr"] > psnr0 + 2.0, f"psnr {psnr0} -> {m['psnr']}"
     assert 0.0 < m["ssim"] <= 1.0
     assert len(hist) >= 2 and np.isfinite(hist[-1]["loss"])
+
+
+def test_scan_steps_trains_identically(fixture_scene):
+    """scan_steps>1 must consume the same camera/key sequence and produce the
+    same parameters as the one-step-at-a-time driver (refine disabled: its
+    thresholded split decisions amplify f32 rounding into divergent
+    trajectories, on either driver). Tolerance allows Adam (eps=1e-15) to
+    amplify trace-level fusion rounding over the 40 steps — at step 8 the
+    drivers agree to 7e-9."""
+    mc = small_model_config(warmup_length=1000, refine_every=1000)
+    t1 = tr.Trainer(fixture_scene, mc, tr.TrainerConfig(max_steps=40, seed=0))
+    t1.run(40)
+    t2 = tr.Trainer(
+        fixture_scene, mc, tr.TrainerConfig(max_steps=40, seed=0, scan_steps=8)
+    )
+    t2.run(40)
+    assert t2.step == t1.step == 40
+    for a, b in zip(
+        jax.tree.leaves(t1.params.gaussians), jax.tree.leaves(t2.params.gaussians)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-2, rtol=0.0,
+        )
+
+
+def test_scan_steps_with_refine_and_odd_boundaries(fixture_scene):
+    """Scan blocks must land exactly on refine boundaries (shrinking blocks)
+    and keep training healthy across them; scan_steps not dividing the
+    schedule exercises the fallback single steps."""
+    mc = small_model_config()
+    t = tr.Trainer(
+        fixture_scene, mc, tr.TrainerConfig(max_steps=70, seed=0, scan_steps=7)
+    )
+    hist = t.run(70)
+    assert t.step == 70
+    assert np.isfinite(hist[-1]["loss"])
+    # same end state as the single-step driver (which culls identically here)
+    t1 = tr.Trainer(fixture_scene, mc, tr.TrainerConfig(max_steps=70, seed=0))
+    t1.run(70)
+    assert int(t.params.gaussians.alive.sum()) == int(t1.params.gaussians.alive.sum())
 
 
 def test_training_with_pose_and_velocity_opt(fixture_scene):
