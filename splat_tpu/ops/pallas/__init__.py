@@ -1,12 +1,16 @@
 """Pallas TPU kernel package + the custom-VJP wrapper used by ops.rasterize.
 
 `rasterize_tiles_pallas` is the drop-in replacement for
-`ops.rasterize.composite_tiles_jnp`: same inputs (TileGather), same outputs
-(per-tile rgb / depth / transmittance), but the per-tile compositing runs in
-the hand-written Pallas kernels of `rasterize_kernels` with an analytic
-backward pass (SURVEY.md §2c #5/#6). The parameter gather stays outside the
-custom_vjp so its cotangent is the deterministic segment-sum scatter handled
-by XLA.
+`ops.rasterize.composite_tiles_jnp`: same inputs (TileLists + projected
+gaussians), same outputs (per-tile rgb / depth / transmittance), but the
+per-tile compositing runs in the hand-written Pallas kernels of
+`rasterize_kernels` with an analytic backward pass (SURVEY.md §2c #5/#6).
+
+One custom_vjp (`_composite_sorted`) spans gather + kernels: the forward
+slices each tile's parameter block straight out of the depth-sorted table
+(no dense id table), and the backward maps per-slot gradients back to
+gaussians by GATHER via the binning sort's slot<->entry bijection — both
+directions deterministic, no scatter-adds anywhere (SURVEY.md §5).
 """
 from __future__ import annotations
 

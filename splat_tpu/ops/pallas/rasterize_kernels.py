@@ -16,27 +16,29 @@ CUDA kernels (SURVEY.md §2c #5/#6). Key departures from the CUDA design:
   * Per-tile dynamic trip count (ceil(count/128)) plus transmittance early
     exit via lax.while_loop; tiles with few Gaussians cost one iteration.
   * Fused exposure (motion blur): all S blur sub-frame times eps_s render
-    inside ONE grid step per tile (unrolled sample loop over the resident
-    param block) — per-grid-step overhead, the measured bottleneck at tile16,
-    is paid once per tile, not once per (tile, sample).
-    The per-pixel readout time becomes
+    inside ONE grid step per tile, and the samples are unrolled INSIDE the
+    chunk loop so every per-chunk quantity (param slice, quadratic basis
+    sigma(t) = A + t(B + tC), masks, gradient read-modify-write) is shared
+    across them; each additional sub-frame costs 2 FMA passes + one exp on
+    top of the per-chunk scans. The per-pixel readout time is
     t = eps_s + t_rs*(py/H - 1/2) and the Gaussian mean is shifted by
     pix_vel * t — the SAME first-order screen-space warp the method uses for
     rolling shutter (SURVEY.md Appendix B.3), applied to the exposure window.
-    The per-tile parameter block stays resident in VMEM across the S samples
-    and the backward accumulates d_params across samples in-place, so the
-    expensive sort/gather/scatter pipeline runs ONCE per frame instead of once
-    per sub-frame (the reference re-projects and re-bins per sub-frame,
-    train.py:22 x 20k steps). Exact per-sub-frame reprojection remains
-    available as the model's blur_mode="exact" path.
+    Sort/gather/grad-scatter run ONCE per frame instead of once per sub-frame
+    (the reference re-projects and re-bins per sub-frame, train.py:22 x 20k
+    steps). Exact per-sub-frame reprojection remains available as the model's
+    blur_mode="exact" path.
   * Backward is a single FORWARD-order pass (no back-to-front re-traversal,
     no atomics): the suffix contribution S_i needed for d(alpha_i) is
     recovered as A_total - prefix_i, where A_total is reconstructed from the
     forward outputs (rgb = sum w_i c_i, depth_acc, T_final) — so the only
-    residuals are the kernel's own inputs and outputs. Per-Gaussian gradients
-    are pixel-reductions done as (npix,chunk) contractions; the global
-    scatter back to Gaussians is the deterministic segment-sum VJP of the
-    gather outside the kernel (SURVEY.md §5: no race-prone constructs).
+    residuals are the kernel's own inputs and outputs. Cotangents stay in the
+    out-block ROW layout (lane<->sublane relayouts measured ~11 ms/step when
+    done per sample), positional-gradient pixel reductions are deferred
+    across samples via moment planes P_k = sum_s t^k d_sigma, and the global
+    map back to Gaussians is a GATHER via the binning sort's slot<->entry
+    bijection (see ops/pallas/__init__) — no race-prone constructs anywhere
+    (SURVEY.md §5).
 
 Packed layouts (K = max_per_tile, multiple of 128):
   params  (T, 16, K): rows 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c

@@ -11,8 +11,10 @@ re-designed for TPU:
     turning per-pixel scalar loops into dense VPU work and an (npix x K) @ (K x 4)
     MXU matmul for the color/depth accumulation;
   * the backward pass is plain autodiff through the scan + the parameter gather
-    (`jnp.take`), whose VJP is a deterministic segment-sum scatter — replacing
-    CUDA's atomic adds (SURVEY.md §5: no race-prone constructs by design).
+    (`jnp.take`) on the jnp path; the pallas path instead maps per-slot
+    gradients back to gaussians by GATHER via the binning sort's slot<->entry
+    bijection (ops/pallas) — either way no atomics, replacing CUDA's atomic
+    adds (SURVEY.md §5: no race-prone constructs by design).
 
 Two implementations share this orchestration: `impl="jnp"` (vmapped scan; runs
 anywhere, is the shardable baseline) and `impl="pallas"` (hand-written kernels in
