@@ -125,6 +125,37 @@ def test_tile_lists_depth_sorted():
         assert np.all(np.diff(d) >= 0), f"tile {t} not depth sorted"
 
 
+def test_entry_slots_bijection():
+    """entry_slots (the gather-form VJP's routing table) must be a bijection
+    between surviving candidate entries and occupied (tile, rank) slots:
+    every slot j < counts[t] is claimed by EXACTLY one entry, and that
+    entry's gaussian id matches indices[t, j]."""
+    proj, colors, opac, w, h = make_scene(seed=7)
+    K = 64
+    lists = tiling.build_tile_lists(
+        proj.means2d, proj.extents, proj.depths, proj.valid, w, h,
+        tile_size=8, max_per_tile=K, max_tiles_per_gaussian=16,
+    )
+    slots = np.asarray(lists.entry_slots)
+    idx = np.asarray(lists.indices)
+    cnt = np.asarray(lists.counts)
+    n_tiles = idx.shape[0]
+    n = proj.means2d.shape[0]
+    m = slots.shape[0] // n
+    dummy = n_tiles * K
+
+    real = slots[slots < dummy]
+    # bijection: no two entries share a slot
+    assert len(np.unique(real)) == len(real)
+    # exactly the occupied slots are claimed
+    expected = {t * K + j for t in range(n_tiles) for j in range(cnt[t])}
+    assert set(real.tolist()) == expected
+    # each claiming entry's gaussian id matches the dense id table
+    for e in np.flatnonzero(slots < dummy):
+        t, j = divmod(int(slots[e]), K)
+        assert idx[t, j] == e // m, (t, j, idx[t, j], e)
+
+
 def test_exact_conic_cull_is_lossless():
     """Peak-alpha tile culling must not change the rendered image, only
     shrink the per-tile lists."""
