@@ -108,6 +108,39 @@ _ROOT_ALIASES = {
     "optimizers": "trainer",
 }
 
+
+def help_text() -> str:
+    """ns-train-style usage: every dataclass field is a dotted flag."""
+    import io
+
+    from ..data.dataparser import DataParserConfig
+    from ..models.splatfacto import SplatfactoConfig
+    from .trainer import TrainerConfig
+
+    out = io.StringIO()
+    out.write(
+        "usage: fit.py [splatfacto] [--<run-field> V]... "
+        "[--pipeline.model.<field> V]... [--trainer.<field> V]... "
+        "[nerfstudio-data [--<dataparser-field> V]...]\n\n"
+        "Flags are kebab- or snake-case dataclass fields; values are parsed "
+        "to the field's type. Sections:\n"
+    )
+    for title, cls, prefix in (
+        ("run", RunConfig, "--"),
+        ("model", SplatfactoConfig, "--pipeline.model."),
+        ("trainer", TrainerConfig, "--trainer."),
+        ("dataparser (after 'nerfstudio-data')", DataParserConfig, "--"),
+    ):
+        out.write(f"\n[{title}]\n")
+        for f in dataclasses.fields(cls):
+            if f.name in ("model", "trainer", "dataparser"):
+                continue
+            default = getattr(cls(), f.name, None)
+            if dataclasses.is_dataclass(default):
+                default = "{...}"
+            out.write(f"  {prefix}{f.name.replace('_', '-'):<38} (default: {default})\n")
+    return out.getvalue()
+
 # field-name aliases to keep the reference's exact flags working
 _FIELD_ALIASES = {
     "camera-velocity-optimizer": "camera_velocity_optimizer",
@@ -129,6 +162,9 @@ def parse_cli(argv: list[str]) -> RunConfig:
         i = 1
     while i < len(argv):
         tok = argv[i]
+        if tok in ("--help", "-h"):
+            print(help_text())
+            raise SystemExit(0)
         if tok == "nerfstudio-data":
             section = "dataparser"
             i += 1
