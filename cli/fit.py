@@ -45,7 +45,14 @@ def main(argv=None):
     tc = cfg.trainer
     import dataclasses
 
-    tc = dataclasses.replace(tc, max_steps=cfg.max_num_iterations, seed=cfg.seed)
+    # --max-num-iterations (the reference's flag) and --trainer.max-steps are
+    # aliases; whichever was changed from its default wins so neither is a
+    # silent no-op.
+    n_iter = cfg.max_num_iterations
+    if n_iter == type(cfg)().max_num_iterations and tc.max_steps != type(tc)().max_steps:
+        n_iter = tc.max_steps
+    cfg = dataclasses.replace(cfg, max_num_iterations=n_iter)
+    tc = dataclasses.replace(tc, max_steps=n_iter, seed=cfg.seed)
     if "viewer" in (cfg.vis or ""):
         # the live viewer thread reads trainer.params concurrently; donated
         # buffers would be invalidated mid-render

@@ -69,12 +69,19 @@ def pack_param_table(
     into the gather.
     """
     op_eff = opacities * proj.compensations * proj.valid.astype(colors.dtype)
+    # Row 12 = log(op_eff): lets the kernels evaluate alpha with a single
+    # exp (alpha = exp(log_op - sigma)) and run every mask as a comparison
+    # in log space. stop_gradient: the kernel emits the opacity gradient
+    # through row 8 only (row 12 cotangents are zero by construction, and
+    # log's VJP at op_eff=0 would be inf*0=nan without this).
+    log_op = jax.lax.stop_gradient(jnp.log(jnp.maximum(op_eff, 1e-35)))
     cols = [
         proj.means2d[:, 0], proj.means2d[:, 1],
         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
         colors[:, 0], colors[:, 1], colors[:, 2],
         op_eff, proj.depths,
         proj.pix_vels[:, 0], proj.pix_vels[:, 1],
+        log_op,
     ]
     n = proj.means2d.shape[0]
     table = jnp.stack(cols, axis=1)                      # (N, 12)

@@ -16,11 +16,11 @@ CUDA kernels (SURVEY.md §2c #5/#6). Key departures from the CUDA design:
   * Per-tile dynamic trip count (ceil(count/128)) plus transmittance early
     exit via lax.while_loop; tiles with few Gaussians cost one iteration.
   * Fused exposure (motion blur): all S blur sub-frame times eps_s render
-    inside ONE grid step per tile, and the samples are unrolled INSIDE the
-    chunk loop so every per-chunk quantity (param slice, quadratic basis
-    sigma(t) = A + t(B + tC), masks, gradient read-modify-write) is shared
-    across them; each additional sub-frame costs 2 FMA passes + one exp on
-    top of the per-chunk scans. The per-pixel readout time is
+    inside ONE grid step per tile, STACKED along sublanes — every per-chunk
+    op (quadratic basis sigma(t) = A + t(B + tC), one exp, every matmul) runs
+    on (S*npix, chunk) arrays, so the matmul count and VPU instruction count
+    per chunk are CONSTANT in S (the kernels were bound by the pipeline-fill
+    latency of many small per-sample matmuls). The per-pixel readout time is
     t = eps_s + t_rs*(py/H - 1/2) and the Gaussian mean is shifted by
     pix_vel * t — the SAME first-order screen-space warp the method uses for
     rolling shutter (SURVEY.md Appendix B.3), applied to the exposure window.
@@ -42,7 +42,8 @@ CUDA kernels (SURVEY.md §2c #5/#6). Key departures from the CUDA design:
 
 Packed layouts (K = max_per_tile, multiple of 128):
   params  (T, 16, K): rows 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c
-                      5:r 6:g 7:b 8:op_eff 9:depth 10:pvx 11:pvy (12..15 pad)
+                      5:r 6:g 7:b 8:op_eff 9:depth 10:pvx 11:pvy
+                      12:log(op_eff) (13..15 pad)
   out     (T, 8, npix): rows 0-2 rgb, 3 depth_acc, 4 T_final (5..7 pad)
   d_params(T, 16, K): same rows as params.
 """
@@ -78,17 +79,20 @@ _MM_PRECISION = (
 
 def _pixel_coords(tile_size: int, tx, ty, img_h: int, rs_time, row_offset, eps_s,
                   dtype=jnp.float32):
-    """(npix, 1) pixel-center coords and per-pixel sampling-time offset.
+    """(npix, 1) TILE-LOCAL pixel-center coords and per-pixel sampling time.
 
-    px/py are local to the rendered region (match means2d); the rolling-shutter
-    scanline time uses the GLOBAL row (py + row_offset over the full height) so
-    row-strip-sharded rendering stays exact. eps_s is this blur sub-frame's
-    time within the exposure window (0 for single-sample rendering)."""
+    px/py are local to the TILE (the Gaussian means are shifted by the tile
+    origin per chunk instead — same values in exact arithmetic, but keeps every
+    pixel-basis quantity small so the moment matmuls of the backward epilogue
+    are well-conditioned). The rolling-shutter scanline time uses the GLOBAL
+    row (ty + py + row_offset over the full height) so row-strip-sharded
+    rendering stays exact. eps_s is this blur sub-frame's time within the
+    exposure window (0 for single-sample rendering)."""
     npix = tile_size * tile_size
     p = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
-    px = (tx + p % tile_size).astype(dtype) + 0.5
-    py = (ty + p // tile_size).astype(dtype) + 0.5
-    t_row = eps_s + rs_time * ((py + row_offset) / img_h - 0.5)
+    px = (p % tile_size).astype(dtype) + 0.5
+    py = (p // tile_size).astype(dtype) + 0.5
+    t_row = eps_s + rs_time * ((py + ty + row_offset) / img_h - 0.5)
     return px, py, t_row
 
 
@@ -128,7 +132,13 @@ _CUM_EXC = (
 )
 
 
-def _chunk_basis(params_ref, blk, px, py, base, count, chunk=CHUNK):
+import math as _math
+_LOG_THRESH = float(_math.log(ALPHA_THRESH))
+_LOG_MAX_ALPHA = float(_math.log(MAX_ALPHA))
+_NEG_BIG = -1e30
+
+
+def _chunk_basis(params_ref, blk, px, py, tx, ty, base, count, chunk=CHUNK):
     """Per-chunk quantities shared by ALL blur sub-frames.
 
     The Gaussian exponent along the warp mean(t) = mean + pix_vel*t is a
@@ -136,31 +146,63 @@ def _chunk_basis(params_ref, blk, px, py, base, count, chunk=CHUNK):
         sigma(t) = A + B t + C t^2,  dx(t) = dx0 - pvx t,  dy(t) = dy0 - pvy t
     so each sub-frame costs 2 FMA passes + one exp instead of a full
     re-evaluation — the chunk basis (A, B, C, dx0, dy0) is computed ONCE per
-    chunk and amortized over the S unrolled samples."""
+    chunk and amortized over the S unrolled samples.
+
+    px/py are tile-local; the means are shifted by the tile origin (tx, ty)
+    here, as cheap (1, chunk) row ops. The per-lane validity (j < count) is
+    folded into the effective log-opacity row `lo_hi`: invalid lanes get
+    -1e30, so every `lo <= lo_hi` mask test kills them for free."""
     sub = params_ref[blk, :, pl.ds(base, chunk)]   # (16, chunk)
-    mx, my = sub[0:1], sub[1:2]          # (1, CHUNK)
+    mx, my = sub[0:1] - tx, sub[1:2] - ty          # (1, CHUNK), tile-local
     ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
     pvx, pvy = sub[10:11], sub[11:12]
+    j = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    lo_hi = jnp.where(j < count, sub[12:13], _NEG_BIG)  # log(op_eff) row
 
     dx0 = px - mx                        # (npix, CHUNK)
     dy0 = py - my
     A = 0.5 * (ca * dx0 * dx0 + cc * dy0 * dy0) + cb * dx0 * dy0
     B = -(ca * dx0 * pvx + cb * (dx0 * pvy + dy0 * pvx) + cc * dy0 * pvy)
     C = 0.5 * (ca * pvx * pvx + cc * pvy * pvy) + cb * pvx * pvy
-    j = base + jax.lax.broadcasted_iota(jnp.int32, A.shape, 1)
-    jmask = j < count
-    return sub, dx0, dy0, A, B, C, jmask
+    return sub, dx0, dy0, A, B, C, lo_hi
 
 
-def _sample_alpha(sub, A, B, C, jmask, t_row):
-    """Alpha matrix for ONE sub-frame from the shared chunk basis."""
-    op = sub[8:9]
+def _stacked_alpha(A, B, C, lo_hi, t_stack, chunk):
+    """Alpha matrix for ALL S sub-frames, stacked along sublanes.
+
+    The S samples are evaluated as ONE set of vector ops on (S*npix, chunk)
+    arrays (the chunk basis broadcasts over the leading sample axis), so the
+    VPU instruction count and — critically — the matmul count per chunk stay
+    constant in S: the kernels were bound by the pipeline-fill latency of
+    many small per-sample matmuls, not by element throughput.
+
+    One exp for everything: alpha = op*exp(-sigma) = exp(log_op - sigma),
+    with every mask test a comparison in log space:
+      sigma >= 0        <=>  lo <= lo_hi  (also kills j >= count lanes)
+      alpha >= THRESH   <=>  lo >= log(THRESH)
+    Returns (masked alpha, lo, mask) as (S*npix, chunk); the backward derives
+    its clamp test (alpha_raw < MAX_ALPHA) as lo < log(MAX_ALPHA)."""
+    s, npix = t_stack.shape[0], t_stack.shape[1]
+    sigma = A[None] + t_stack * (B[None] + t_stack * C[None])  # (S, npix, chunk)
+    lo3 = lo_hi[None] - sigma
+    mask3 = (lo3 >= _LOG_THRESH) & (lo3 <= lo_hi[None])
+    alpha3 = jnp.where(mask3, jnp.minimum(MAX_ALPHA, jnp.exp(lo3)), 0.0)
+    flat = (s * npix, chunk)
+    return alpha3.reshape(flat), lo3.reshape(flat), mask3.reshape(flat)
+
+
+def _sample_alpha(A, B, C, lo_hi, t_row):
+    """Alpha matrix for ONE sub-frame from the shared log-space chunk basis.
+
+    Same math as `_stacked_alpha` for a single (npix, chunk) sample — used by
+    the backward, where stacking all S samples was measured SLOWER (the
+    backward's much larger live set of (S*npix, chunk) intermediates spills
+    VMEM), while the forward is faster stacked."""
     sigma = A + t_row * (B + t_row * C)
-    alpha_raw = op * jnp.exp(-sigma)
-    alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
-    mask = (sigma >= 0) & (alpha >= ALPHA_THRESH) & jmask
-    alpha = jnp.where(mask, alpha, 0.0)
-    return alpha, alpha_raw, mask
+    lo = lo_hi - sigma
+    mask = (lo >= _LOG_THRESH) & (lo <= lo_hi)
+    alpha = jnp.where(mask, jnp.minimum(MAX_ALPHA, jnp.exp(lo)), 0.0)
+    return alpha, lo, mask
 
 
 def _fwd_kernel(counts_ref, scalars_ref, params_ref, out_ref, *, tile_size,
@@ -180,62 +222,61 @@ def _fwd_one_tile(counts_ref, scalars_ref, params_ref, out_ref, t, blk, *,
     rs_time = scalars_ref[0]
     row_offset = scalars_ref[1]
     npix = tile_size * tile_size
+    sp = n_samples * npix
     tx = (t % tiles_x) * tile_size
     ty = (t // tiles_x) * tile_size
     k_max = params_ref.shape[2]
     n_chunks = jnp.minimum((count + chunk - 1) // chunk, k_max // chunk)
 
     # All S blur sub-frames composite inside ONE grid step from the resident
-    # param block (grid-step overhead paid once per tile), with the samples
-    # UNROLLED INSIDE the chunk loop so the chunk basis is shared across them.
+    # param block (grid-step overhead paid once per tile), STACKED along the
+    # sublane axis — per-chunk work is one set of (S*npix, chunk) vector ops
+    # and ONE cumulative-transmittance matmul regardless of S.
     px, py, t_pix = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, 0.0)
-    t_rows = [scalars_ref[2 + s] + t_pix for s in range(n_samples)]
+    t_stack = jnp.stack([scalars_ref[2 + s] + t_pix for s in range(n_samples)])
+    # (S, npix, 1)
 
     def cond(carry):
-        i = carry[0]
-        t_alive = carry[2]
-        alive = jnp.array(False)
+        i, _, Ts = carry
         if _EARLY_EXIT:
-            for s in range(n_samples):
-                alive |= jnp.max(t_alive[s]) > T_EPS
-            return (i < n_chunks) & alive
+            return (i < n_chunks) & (jnp.max(Ts) > T_EPS)
         return i < n_chunks
 
     def body(carry):
-        i, rgbd_accs, Ts = carry
+        i, rgbd_acc, Ts = carry                      # (4, S*npix), (S*npix, 1)
         base = i * chunk
-        sub, _, _, A, B, C, jmask = _chunk_basis(params_ref, blk, px, py, base, count, chunk)
+        sub, _, _, A, B, C, lo_hi = _chunk_basis(
+            params_ref, blk, px, py, tx, ty, base, count, chunk)
         cols4 = jnp.concatenate([sub[5:8], sub[9:10]], axis=0)  # rgb+depth rows
 
-        new_acc, new_T = [], []
-        for s in range(n_samples):
-            alpha, _, _ = _sample_alpha(sub, A, B, C, jmask, t_rows[s])
-            t_exc = Ts[s] * jnp.exp(_CUM_EXC(alpha))  # (npix, CHUNK)
-            t_inc = t_exc * (1.0 - alpha)             # inclusive: one mul, no 2nd exp
-            active = t_exc > T_EPS
-            w = jnp.where(active, t_exc * alpha, 0.0)
+        alpha, _, _ = _stacked_alpha(A, B, C, lo_hi, t_stack, chunk)
+        t_exc = Ts * jnp.exp(_CUM_EXC(alpha))        # (S*npix, CHUNK)
+        t_inc = t_exc * (1.0 - alpha)                # inclusive: one mul, no 2nd exp
+        active = t_exc > T_EPS
+        w = jnp.where(active, t_exc * alpha, 0.0)
 
-            # rgbd accumulator kept TRANSPOSED (4, npix): streaming the 4-row
-            # side through the MXU costs ~4 passes instead of npix (the N=4
-            # orientation would pad to a full 128-lane tile).
-            acc = jax.lax.dot_general(
-                cols4, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=_MM_PRECISION,
-            )                                            # (4, npix)
-            new_acc.append(rgbd_accs[s] + acc)
-            new_T.append(jnp.min(jnp.where(active, t_inc, Ts[s]), axis=1, keepdims=True))
-        return i + 1, tuple(new_acc), tuple(new_T)
+        # rgbd accumulator kept TRANSPOSED (4, S*npix): streaming the 4-row
+        # side through the MXU costs ~4 passes instead of npix (the N=4
+        # orientation would pad to a full 128-lane tile).
+        acc = jax.lax.dot_general(
+            cols4, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_MM_PRECISION,
+        )                                            # (4, S*npix)
+        new_T = jnp.min(jnp.where(active, t_inc, Ts), axis=1, keepdims=True)
+        return i + 1, rgbd_acc + acc, new_T
 
     init = (
         jnp.zeros((), jnp.int32),
-        tuple(jnp.zeros((4, npix), jnp.float32) for _ in range(n_samples)),
-        tuple(jnp.ones((npix, 1), jnp.float32) for _ in range(n_samples)),
+        jnp.zeros((4, sp), jnp.float32),
+        jnp.ones((sp, 1), jnp.float32),
     )
-    _, rgbd_accs_f, Ts_f = jax.lax.while_loop(cond, body, init)
+    _, rgbd_acc_f, Ts_f = jax.lax.while_loop(cond, body, init)
 
     for s in range(n_samples):
         packed = jnp.concatenate(
-            [rgbd_accs_f[s], Ts_f[s].T, jnp.zeros((NOUT - 5, npix), jnp.float32)],
+            [rgbd_acc_f[:, s * npix:(s + 1) * npix],
+             Ts_f[s * npix:(s + 1) * npix].T,
+             jnp.zeros((NOUT - 5, npix), jnp.float32)],
             axis=0,
         )                                            # (8, npix)
         out_ref[blk, s] = packed
@@ -269,7 +310,9 @@ def _bwd_one_tile(
     # One d_params block per tile, zeroed once. The S blur sub-frames are
     # UNROLLED INSIDE the chunk loop: the chunk basis (A, B, C, dx0, dy0) is
     # shared across them and the per-sample gradients are summed in registers,
-    # so the VMEM read-modify-write happens ONCE per chunk.
+    # so the VMEM read-modify-write happens ONCE per chunk. (Stacking the
+    # samples along sublanes like the forward was measured SLOWER here — the
+    # backward's live set of (S*npix, chunk) intermediates spills VMEM.)
     d_params_ref[blk] = jnp.zeros_like(d_params_ref[blk])
 
     px, py, t_pix = _pixel_coords(tile_size, tx, ty, img_h, rs_time, row_offset, 0.0)
@@ -293,6 +336,15 @@ def _bwd_one_tile(
     c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     Minc = (r <= c).astype(jnp.float32)         # inclusive-prefix matmul mask
 
+    # Pixel-moment basis for the positional-gradient epilogue: every pixel
+    # reduction below is sum_p f(px,py) * P_k with f in span{1,px,py,px^2,
+    # px*py,py^2}, so the seven per-chunk reductions collapse into three tiny
+    # (6,npix)@(npix,chunk) MXU matmuls. px/py are tile-local, so the basis is
+    # a compile-time constant and the matmul is well-conditioned in f32.
+    phi6 = jnp.concatenate(
+        [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
+    )                                           # (npix, 6)
+
     def cond(carry):
         i, _, Ts = carry
         if _EARLY_EXIT:
@@ -305,7 +357,9 @@ def _bwd_one_tile(
     def body(carry):
         i, prefixes, Ts = carry
         base = i * chunk
-        sub, dx0, dy0, A, B, C, jmask = _chunk_basis(params_ref, blk, px, py, base, count, chunk)
+        sub, _, _, A, B, C, lo_hi = _chunk_basis(
+            params_ref, blk, px, py, tx, ty, base, count, chunk)
+        mx_l, my_l = sub[0:1] - tx, sub[1:2] - ty   # (1, CHUNK) tile-local
         ca, cb, cc = sub[2:3], sub[3:4], sub[4:5]
         cols4 = jnp.concatenate([sub[5:8], sub[9:10]], axis=0)  # (4, CHUNK)
         op = sub[8:9]
@@ -326,7 +380,7 @@ def _bwd_one_tile(
 
         for s in range(n_samples):
             t_row = t_rows[s]
-            alpha, alpha_raw, mask = _sample_alpha(sub, A, B, C, jmask, t_row)
+            alpha, lo, mask = _sample_alpha(A, B, C, lo_hi, t_row)
             t_exc = Ts[s] * jnp.exp(_CUM_EXC(alpha))
             t_inc = t_exc * (1.0 - alpha)
             active = t_exc > T_EPS
@@ -351,7 +405,7 @@ def _bwd_one_tile(
             # alpha*t_exc*v = w*v = contrib (already computed for the prefix).
             # Grad 0 at the alpha clamp and outside the compositing mask.
             one_m = jnp.maximum(1.0 - alpha, 1e-6)
-            live = active & mask & (alpha_raw < MAX_ALPHA)
+            live = active & mask & (lo < _LOG_MAX_ALPHA)
             d_sigma = jnp.where(live, alpha * (S / one_m) - contrib, 0.0)
             td = t_row * d_sigma
             P0 = P0 + d_sigma
@@ -366,21 +420,43 @@ def _bwd_one_tile(
             new_prefix.append(prefix_inc[:, -1:])
             new_T.append(jnp.min(jnp.where(active, t_inc, Ts[s]), axis=1, keepdims=True))
 
-        # Per-chunk epilogue: all positional grads from the moment planes.
-        #   U_k = dx0 P_k - pvx P_{k+1} resolves sum_s dx_s t_s^k d_sigma_s.
-        U1 = dx0 * P0 - pvx * P1
-        U2 = dy0 * P0 - pvy * P1
-        V1 = dx0 * P1 - pvx * P2
-        V2 = dy0 * P1 - pvy * P2
-        g_mx = -jnp.sum(ca * U1 + cb * U2, axis=0, keepdims=True)
-        g_my = -jnp.sum(cc * U2 + cb * U1, axis=0, keepdims=True)
-        g_pvx = -jnp.sum(ca * V1 + cb * V2, axis=0, keepdims=True)
-        g_pvy = -jnp.sum(cc * V2 + cb * V1, axis=0, keepdims=True)
-        g_ca = 0.5 * jnp.sum(dx0 * U1 - pvx * V1, axis=0, keepdims=True)
-        g_cc = 0.5 * jnp.sum(dy0 * U2 - pvy * V2, axis=0, keepdims=True)
-        g_cb = jnp.sum(dy0 * U1 - pvy * V1, axis=0, keepdims=True)
+        # Per-chunk epilogue: all positional grads from the moment planes via
+        # three tiny pixel-basis matmuls (MXU) instead of ~37 (npix, chunk)
+        # VPU passes. With dx_s = dx0 - pvx*t_s and dx0 = px - mx, every
+        # needed reduction sum_{s,p} dx_s^a dy_s^b d_sigma_s is a polynomial
+        # in the basis moments M_k[f] = sum_p f(px,py) * P_k(p,·) recombined
+        # with (1, chunk) per-Gaussian rows.
+        def mom(Pk, nb):
+            return jax.lax.dot_general(
+                phi6[:, :nb], Pk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                       # (nb, chunk)
+
+        M0 = mom(P0, 6)   # rows: 1, px, py, px^2, px*py, py^2
+        M1 = mom(P1, 3)   # rows: 1, px, py
+        M2 = mom(P2, 1)   # row:  1
+        m2 = M2[0:1]
+        X0 = M0[1:2] - mx_l * M0[0:1]               # sum dx0 P0
+        Y0 = M0[2:3] - my_l * M0[0:1]
+        X1 = M1[1:2] - mx_l * M1[0:1]               # sum dx0 P1
+        Y1 = M1[2:3] - my_l * M1[0:1]
+        XX0 = M0[3:4] - 2.0 * mx_l * M0[1:2] + mx_l * mx_l * M0[0:1]
+        YY0 = M0[5:6] - 2.0 * my_l * M0[2:3] + my_l * my_l * M0[0:1]
+        XY0 = M0[4:5] - mx_l * M0[2:3] - my_l * M0[1:2] + mx_l * my_l * M0[0:1]
+        SU1 = X0 - pvx * M1[0:1]                    # sum_s,p dx_s d_sigma
+        SU2 = Y0 - pvy * M1[0:1]
+        SV1 = X1 - pvx * m2                         # sum_s,p t_s dx_s d_sigma
+        SV2 = Y1 - pvy * m2
+        g_mx = -(ca * SU1 + cb * SU2)
+        g_my = -(cc * SU2 + cb * SU1)
+        g_pvx = -(ca * SV1 + cb * SV2)
+        g_pvy = -(cc * SV2 + cb * SV1)
+        g_ca = 0.5 * (XX0 - 2.0 * pvx * X1 + pvx * pvx * m2)
+        g_cc = 0.5 * (YY0 - 2.0 * pvy * Y1 + pvy * pvy * m2)
+        g_cb = XY0 - pvx * Y1 - pvy * X1 + pvx * pvy * m2
         # d_op = sum expneg d_alpha = -inv_op * sum_s,p d_sigma (same masking)
-        g_op = -jnp.sum(P0, axis=0, keepdims=True) * inv_op
+        g_op = -M0[0:1] * inv_op
 
         grads = jnp.concatenate(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_cd[0:3], g_op, g_cd[3:4], g_pvx,
