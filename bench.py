@@ -86,9 +86,9 @@ def main():
             max_per_tile=MAX_PER_TILE,
             max_tiles_per_gaussian=MAX_TILES_PER_GAUSSIAN,
             impl="pallas",
+            reduce="mean",  # linear-space blur average (Appendix B.4)
         )
-        rgb = out.rgb.mean(axis=0)  # linear-space blur average (Appendix B.4)
-        return jnp.mean(rgb ** 2) + jnp.mean(out.alpha)
+        return jnp.mean(out.rgb ** 2) + jnp.mean(out.alpha)
 
     @jax.jit
     def bench(means):

@@ -41,9 +41,8 @@ def loss_fn(m):
     out = rasterize.rasterize_fused(
         proj, colors, opac, RES, RES, jnp.zeros(3), eps=eps,
         rolling_shutter_time=0.03, tile_size=TILE, max_per_tile=MPT,
-        max_tiles_per_gaussian=MTPG, impl="pallas")
-    rgb = out.rgb.mean(axis=0)
-    return jnp.mean(rgb ** 2) + jnp.mean(out.alpha)
+        max_tiles_per_gaussian=MTPG, impl="pallas", reduce="mean")
+    return jnp.mean(out.rgb ** 2) + jnp.mean(out.alpha)
 
 
 @jax.jit

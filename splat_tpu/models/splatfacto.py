@@ -355,11 +355,18 @@ def render_camera(
         # contiguous groups of near-equal (static) sizes; any A in [1, S] works
         sizes = [n_s // n_a + (1 if a < n_s % n_a else 0) for a in range(n_a)]
         offsets = [sum(sizes[:a]) for a in range(n_a)]
-        per_anchor = []
+        mid_global = n_s // 2
+        per_anchor, mid_anchor = [], 0
         for a in range(n_a):
             eps_g = jax.lax.dynamic_slice(eps, (offsets[a],), (sizes[a],))
             t_a = eps_g.mean()
             proj, colors = subframe_inputs(t_a)
+            in_group = offsets[a] <= mid_global < offsets[a] + sizes[a]
+            if in_group:
+                mid_anchor = a
+            # reduce="mean": the blur average + mid-exposure depth come back
+            # directly (the per-sample images are never needed), letting the
+            # pallas path skip S-1 tile->image relayouts.
             per_anchor.append(rasterize.rasterize_fused(
                 proj, colors, opac, w, h, background,
                 eps=eps_g - t_a,
@@ -369,8 +376,15 @@ def render_camera(
                 max_tiles_per_gaussian=config.max_tiles_per_gaussian,
                 chunk=config.chunk,
                 impl=resolve_impl(config.impl),
+                reduce="mean",
+                mid_index=(mid_global - offsets[a]) if in_group else None,
             ))
-        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *per_anchor)
+        # global blur average = group-size-weighted mean of the group means
+        rgb = sum(sz * o.rgb for sz, o in zip(sizes, per_anchor)) / n_s
+        alpha = sum(sz * o.alpha for sz, o in zip(sizes, per_anchor)) / n_s
+        T = sum(sz * o.transmittance for sz, o in zip(sizes, per_anchor)) / n_s
+        depth = per_anchor[mid_anchor].depth  # mid-exposure depth
+        return RenderOutput(rgb=rgb, alpha=alpha, depth=depth, transmittance=T)
     else:
         # Exact per-sub-frame reprojection (reference semantics). lax.map
         # compiles the sub-frame body ONCE (vmap would inline S copies of the

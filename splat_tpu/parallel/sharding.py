@@ -260,9 +260,11 @@ def _render_strip_linear(
             )
         out = rasterize.rasterize_fused(
             proj, colors, local_opac, w, strip_h, background,
-            eps=eps_local - t_anchor, **raster_kw
+            eps=eps_local - t_anchor, reduce="mean", **raster_kw
         )
-        return out.rgb.sum(axis=0), eps_local.shape[0]
+        # local sum over this shard's samples = local mean * n_local (the
+        # caller psums the sums and divides by the global S)
+        return out.rgb * eps_local.shape[0], eps_local.shape[0]
     if eps_local.shape[0] == 1:
         return render_subframe(eps_local[0]), 1
     # exact mode — lax.map compiles the sub-frame body once (see models note)

@@ -163,3 +163,44 @@ def test_fused_pallas_gradients_match_jnp():
             err_msg=f"fused grad mismatch: {nm}",
         )
         assert float(jnp.abs(gj).sum()) > 0, f"zero reference grad for {nm}"
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_fused_reduce_mean_matches_manual(impl):
+    """reduce='mean' (tile-space reduction before image assembly) must equal
+    manually averaging the per-sample outputs, for values AND gradients."""
+    proj, colors, opac, w, h = make_scene(seed=7)
+    bg = jnp.array([0.15, 0.25, 0.35])
+    eps = jnp.array([-0.04, -0.01, 0.02, 0.05, 0.06])
+    kw = dict(tile_size=8, max_per_tile=128, max_tiles_per_gaussian=16,
+              rolling_shutter_time=0.03, chunk=16)
+
+    full = rasterize.rasterize_fused(
+        proj, colors, opac, w, h, bg, eps=eps, impl=impl, **kw
+    )
+    red = rasterize.rasterize_fused(
+        proj, colors, opac, w, h, bg, eps=eps, impl=impl, reduce="mean", **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(red.rgb), np.asarray(full.rgb.mean(axis=0)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(red.alpha), np.asarray(full.alpha.mean(axis=0)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(red.transmittance),
+        np.asarray(full.transmittance.mean(axis=0)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(red.depth), np.asarray(full.depth[eps.shape[0] // 2]),
+        atol=1e-5)
+
+    def loss(reduce, means2d):
+        p = proj._replace(means2d=means2d)
+        out = rasterize.rasterize_fused(
+            p, colors, opac, w, h, bg, eps=eps, impl=impl, reduce=reduce, **kw
+        )
+        rgb = out.rgb if reduce else out.rgb.mean(axis=0)
+        return jnp.mean(rgb ** 2)
+
+    g_full = jax.grad(lambda m: loss(None, m))(proj.means2d)
+    g_red = jax.grad(lambda m: loss("mean", m))(proj.means2d)
+    np.testing.assert_allclose(np.asarray(g_red), np.asarray(g_full),
+                               atol=1e-5, rtol=1e-4)
