@@ -16,10 +16,11 @@ from splat_tpu.utils.profiling import jax_trace
 enable_compilation_cache()
 
 import os
-TILE = int(os.environ.get("TILE", 16))
+_t = os.environ.get("TILE", "16")
+TILE = tuple(int(x) for x in _t.split("x")) if "x" in _t else int(_t)
 MPT = int(os.environ.get("MPT", 256))
 MTPG = int(os.environ.get("MTPG", 8))
-N, RES, S = 100_000, 1024, 5
+N, RES, S = 100_000, 1024, int(os.environ.get("S", 5))
 ITERS = 8
 
 rng = np.random.default_rng(0)

@@ -59,6 +59,10 @@ def _coerce(value: str, ftype: Any):
         return float(value)
     if ftype is str:
         return value
+    if get_origin(ftype) is tuple:
+        # tile specs etc.: "16x8" or "16,8" -> (16, 8)
+        parts = [p for p in value.replace("x", ",").split(",") if p]
+        return tuple(int(p) for p in parts)
     # Optional / unions: try args in order
     for arg in get_args(ftype):
         if arg is type(None):
@@ -243,6 +247,8 @@ def load_config(path: Path) -> RunConfig:
                 kw[f.name] = dec(cam_opt.CameraOptConfig, v)
             elif f.name == "camera_velocity_optimizer" and isinstance(v, dict):
                 kw[f.name] = dec(cam_opt.VelocityOptConfig, v)
+            elif isinstance(v, list) and "tuple" in str(f.type):
+                kw[f.name] = tuple(v)   # json round-trips tuples as lists
             else:
                 kw[f.name] = v
         return cls(**kw)

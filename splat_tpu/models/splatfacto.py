@@ -85,7 +85,9 @@ class SplatfactoConfig:
     reset_alpha_every: int = 30                # x refine_every steps
     n_split_samples: int = 2
     # --- rasterizer knobs (TPU-tuned; see PARITY.md perf notes) ---
-    tile_size: int = 16
+    # int (square) or (w, h): 16x8 gives npix = 128 = one TPU lane tile and a
+    # smaller per-gaussian footprint (pairwise work ~ (tw+2r)(th+2r))
+    tile_size: int | tuple[int, int] = 16
     max_per_tile: int = 256                    # per-tile depth-list capacity
     max_tiles_per_gaussian: int = 16           # footprint cap (span^2 tiles)
     chunk: int = 32

@@ -96,9 +96,11 @@ def _gather_table(table, sorted_ids, starts, entry_slots, max_per_tile, k_pad):
 
     Forward: one L-row gather puts the table rows in sorted (tile, depth)
     order; each tile's slot block is then a contiguous (starts[t] + j) row
-    slice of it — no dense (T, K) id table is ever materialized (the id-table
-    gather alone traced at 7.5 ms for 1M slots). Lanes past a tile's count
-    pick up NEIGHBORING tiles' rows; the kernel's count mask zeroes both their
+    slice of it — no dense (T, K) id table is ever materialized. (Composing
+    the two hops at the ID level — int32 id table + one gather from the small
+    (N+1, 16) table — wins a standalone microbenchmark 3x but traced SLOWER
+    in the full pipeline: 9.4 vs 7.4 ms/step.) Lanes past a tile's count pick
+    up NEIGHBORING tiles' rows; the kernel's count mask zeroes both their
     alpha and their gradients, so the garbage never escapes.
 
     Backward: instead of XLA's T*K-row scatter-add (measured 14.1 ms at 1M
@@ -191,17 +193,17 @@ def rasterize_tiles_pallas(
         tile_size, tw, rs_full_height or img_h,
     )  # (T, S, 8, npix)
     n_tiles, n_samples = out.shape[0], out.shape[1]
-    s = tile_size
+    sw, sh = tiling.tile_wh(tile_size)
     if reduce_mean:
         mid = n_samples // 2 if mid_index is None else mid_index
         m = out.mean(axis=1)                             # (T, 8, npix)
         t_mean = m[:, 4]                                 # (T, npix)
         rgb_bg = m[:, 0:3] + background[None, :, None] * m[:, 4:5]
-        rgb_t = jnp.transpose(rgb_bg, (0, 2, 1)).reshape(n_tiles, s, s, 3)
+        rgb_t = jnp.transpose(rgb_bg, (0, 2, 1)).reshape(n_tiles, sh, sw, 3)
         alpha_mid = jnp.maximum(1.0 - out[:, mid, 4], 1e-10)
-        depth_mid = (out[:, mid, 3] / alpha_mid).reshape(n_tiles, s, s)
-        return rgb_t, t_mean.reshape(n_tiles, s, s), depth_mid
-    rgb_t = jnp.transpose(out[:, :, 0:3, :], (0, 1, 3, 2)).reshape(n_tiles, n_samples, s, s, 3)
-    dep_t = out[:, :, 3, :].reshape(n_tiles, n_samples, s, s)
-    T_t = out[:, :, 4, :].reshape(n_tiles, n_samples, s, s)
+        depth_mid = (out[:, mid, 3] / alpha_mid).reshape(n_tiles, sh, sw)
+        return rgb_t, t_mean.reshape(n_tiles, sh, sw), depth_mid
+    rgb_t = jnp.transpose(out[:, :, 0:3, :], (0, 1, 3, 2)).reshape(n_tiles, n_samples, sh, sw, 3)
+    dep_t = out[:, :, 3, :].reshape(n_tiles, n_samples, sh, sw)
+    T_t = out[:, :, 4, :].reshape(n_tiles, n_samples, sh, sw)
     return rgb_t, dep_t, T_t

@@ -83,14 +83,15 @@ def _composite_one_tile(
     image is row-strip sharded across devices — rolling shutter needs GLOBAL
     scanline times while means2d stay strip-local). img_h is the FULL height.
 
-    Returns (rgb (S,S,3), depth_acc (S,S), T (S,S)).
+    Returns (rgb (th,tw,3), depth_acc (th,tw), T (th,tw)).
     """
     dtype = g.colors.dtype
     k_total = g.means2d.shape[0]
     assert k_total % chunk == 0
+    sw, sh = tiling.tile_wh(tile_size)
 
-    px = origin_x + (jnp.arange(tile_size, dtype=dtype) + 0.5)[None, :]  # (1,S)
-    py = origin_y + (jnp.arange(tile_size, dtype=dtype) + 0.5)[:, None]  # (S,1)
+    px = origin_x + (jnp.arange(sw, dtype=dtype) + 0.5)[None, :]  # (1,tw)
+    py = origin_y + (jnp.arange(sh, dtype=dtype) + 0.5)[:, None]  # (th,1)
     # Per-pixel sampling time: blur sub-frame offset + global rolling-shutter
     # scanline time (SURVEY.md Appendix B.1).
     t_row = t_eps + rs_time * ((py + row_offset) / img_h - 0.5)  # (S,1)
@@ -125,9 +126,9 @@ def _composite_one_tile(
         return (rgb, depth_acc, T), None
 
     init = (
-        jnp.zeros((tile_size, tile_size, 3), dtype=dtype),
-        jnp.zeros((tile_size, tile_size), dtype=dtype),
-        jnp.ones((tile_size, tile_size), dtype=dtype),
+        jnp.zeros((sh, sw, 3), dtype=dtype),
+        jnp.zeros((sh, sw), dtype=dtype),
+        jnp.ones((sh, sw), dtype=dtype),
     )
     reshape = lambda a: a.reshape((k_total // chunk, chunk) + a.shape[1:])
     xs = (
@@ -152,8 +153,9 @@ def composite_tiles_jnp(
 ):
     """vmapped per-tile compositing. Returns per-tile (rgb, depth_acc, T)."""
     tw, th = tiling.num_tiles(img_w, img_h, tile_size)
-    tx = (jnp.arange(tw * th, dtype=jnp.int32) % tw).astype(g.colors.dtype) * tile_size
-    ty = (jnp.arange(tw * th, dtype=jnp.int32) // tw).astype(g.colors.dtype) * tile_size
+    sw, sh = tiling.tile_wh(tile_size)
+    tx = (jnp.arange(tw * th, dtype=jnp.int32) % tw).astype(g.colors.dtype) * sw
+    ty = (jnp.arange(tw * th, dtype=jnp.int32) // tw).astype(g.colors.dtype) * sh
     return jax.vmap(
         functools.partial(
             _composite_one_tile,
@@ -167,12 +169,13 @@ def composite_tiles_jnp(
     )(g, tx, ty)
 
 
-def assemble_image(tiles: jax.Array, img_w: int, img_h: int, tile_size: int) -> jax.Array:
-    """(num_tiles, S, S, C?) row-major tile grid -> (H, W, C?) image (cropped)."""
+def assemble_image(tiles: jax.Array, img_w: int, img_h: int, tile_size) -> jax.Array:
+    """(num_tiles, th, tw, C?) row-major tile grid -> (H, W, C?) image (cropped)."""
     tw, th = tiling.num_tiles(img_w, img_h, tile_size)
+    sw, sh = tiling.tile_wh(tile_size)
     chan = tiles.shape[3:]
-    img = tiles.reshape((th, tw, tile_size, tile_size) + chan)
-    img = jnp.swapaxes(img, 1, 2).reshape((th * tile_size, tw * tile_size) + chan)
+    img = tiles.reshape((th, tw, sh, sw) + chan)
+    img = jnp.swapaxes(img, 1, 2).reshape((th * sh, tw * sw) + chan)
     return img[:img_h, :img_w]
 
 

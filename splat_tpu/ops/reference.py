@@ -89,7 +89,11 @@ def render_reference(
     if tile_size is not None:
         span = None
         if max_tiles_per_gaussian is not None:
-            span = max(int(max_tiles_per_gaussian**0.5), 1)
+            sw_, sh_ = _tiling.tile_wh(tile_size)
+            span_x = max(int((max_tiles_per_gaussian * sh_ / sw_) ** 0.5), 1)
+            span_y = max(min(int(span_x * sw_ / sh_),
+                             max_tiles_per_gaussian // span_x), 1)
+            span = (span_x, span_y)
         rs_abs = jnp.abs(jnp.asarray(rolling_shutter_time, dtype=dtype))
         radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * rs_abs * 0.5
         rects, _ = _tiling.gaussian_tile_rects(
@@ -119,8 +123,9 @@ def render_reference(
     t_row = rolling_shutter_time * (py / img_h - 0.5)      # (H, 1)
 
     if tile_size is not None:
-        pix_tx = jnp.floor(px / tile_size).astype(jnp.int32)  # (1, W)
-        pix_ty = jnp.floor(py / tile_size).astype(jnp.int32)  # (H, 1)
+        sw, sh = _tiling.tile_wh(tile_size)
+        pix_tx = jnp.floor(px / sw).astype(jnp.int32)  # (1, W)
+        pix_ty = jnp.floor(py / sh).astype(jnp.int32)  # (H, 1)
 
     def chunk_step(carry, xs):
         rgb, depth_acc, T = carry

@@ -81,8 +81,22 @@ class TileLists(NamedTuple):
     starts: jax.Array       # (num_tiles,) int32 first sorted position per tile
 
 
-def num_tiles(img_w: int, img_h: int, tile_size: int) -> tuple[int, int]:
-    return -(-img_w // tile_size), -(-img_h // tile_size)
+def tile_wh(tile_size) -> tuple[int, int]:
+    """Normalize a tile spec to (tile_w, tile_h).
+
+    Tiles may be rectangular: 16x8 gives npix = 128 (exactly one TPU lane
+    tile) and shrinks the per-Gaussian compositing footprint — pairwise work
+    scales as (tile_w + 2r)(tile_h + 2r), so splitting the short axis
+    vertically also aligns with the rolling-shutter scanline time gradient."""
+    if isinstance(tile_size, (tuple, list)):
+        tw, th = tile_size
+        return int(tw), int(th)
+    return int(tile_size), int(tile_size)
+
+
+def num_tiles(img_w: int, img_h: int, tile_size) -> tuple[int, int]:
+    sw, sh = tile_wh(tile_size)
+    return -(-img_w // sw), -(-img_h // sh)
 
 
 def gaussian_tile_rects(
@@ -106,15 +120,16 @@ def gaussian_tile_rects(
     (keeps the expansion budget static). Returns (rects, was_clipped).
     """
     tw, th = num_tiles(img_w, img_h, tile_size)
+    sw, sh = tile_wh(tile_size)
     if extents.ndim == 1:
         extents = jnp.stack([extents, extents], axis=-1)
     pad = 0.0 if radius_pad is None else radius_pad
     rx = extents[:, 0] + pad
     ry = extents[:, 1] + pad
-    x0 = jnp.floor((means2d[:, 0] - rx) / tile_size).astype(jnp.int32)
-    y0 = jnp.floor((means2d[:, 1] - ry) / tile_size).astype(jnp.int32)
-    x1 = jnp.floor((means2d[:, 0] + rx) / tile_size).astype(jnp.int32) + 1
-    y1 = jnp.floor((means2d[:, 1] + ry) / tile_size).astype(jnp.int32) + 1
+    x0 = jnp.floor((means2d[:, 0] - rx) / sw).astype(jnp.int32)
+    y0 = jnp.floor((means2d[:, 1] - ry) / sh).astype(jnp.int32)
+    x1 = jnp.floor((means2d[:, 0] + rx) / sw).astype(jnp.int32) + 1
+    y1 = jnp.floor((means2d[:, 1] + ry) / sh).astype(jnp.int32) + 1
     x0 = jnp.clip(x0, 0, tw)
     y0 = jnp.clip(y0, 0, th)
     x1 = jnp.clip(x1, 0, tw)
@@ -122,18 +137,19 @@ def gaussian_tile_rects(
 
     clipped = jnp.zeros_like(x0, dtype=bool)
     if max_span is not None:
-        cx = jnp.clip(jnp.floor(means2d[:, 0] / tile_size).astype(jnp.int32), 0, tw - 1)
-        cy = jnp.clip(jnp.floor(means2d[:, 1] / tile_size).astype(jnp.int32), 0, th - 1)
-        wide_x = (x1 - x0) > max_span
-        wide_y = (y1 - y0) > max_span
+        span_x, span_y = (max_span if isinstance(max_span, tuple)
+                          else (max_span, max_span))
+        cx = jnp.clip(jnp.floor(means2d[:, 0] / sw).astype(jnp.int32), 0, tw - 1)
+        cy = jnp.clip(jnp.floor(means2d[:, 1] / sh).astype(jnp.int32), 0, th - 1)
+        wide_x = (x1 - x0) > span_x
+        wide_y = (y1 - y0) > span_y
         clipped = wide_x | wide_y
-        half = max_span // 2
-        nx0 = jnp.clip(cx - half, 0, tw)
-        ny0 = jnp.clip(cy - half, 0, th)
+        nx0 = jnp.clip(cx - span_x // 2, 0, tw)
+        ny0 = jnp.clip(cy - span_y // 2, 0, th)
         x0 = jnp.where(wide_x, nx0, x0)
-        x1 = jnp.where(wide_x, jnp.minimum(nx0 + max_span, tw), x1)
+        x1 = jnp.where(wide_x, jnp.minimum(nx0 + span_x, tw), x1)
         y0 = jnp.where(wide_y, ny0, y0)
-        y1 = jnp.where(wide_y, jnp.minimum(ny0 + max_span, th), y1)
+        y1 = jnp.where(wide_y, jnp.minimum(ny0 + span_y, th), y1)
 
     keep = valid & (jnp.max(extents, axis=-1) > 0)
     x1 = jnp.where(keep, x1, x0)  # empty rect for culled gaussians
@@ -174,22 +190,26 @@ def build_tile_lists(
     """
     n = means2d.shape[0]
     tw, th = num_tiles(img_w, img_h, tile_size)
+    sw, sh = tile_wh(tile_size)
     n_tiles = tw * th
-    span = max(int(max_tiles_per_gaussian**0.5), 1)
+    # Per-axis span budget with span_x*span_y <= M and span_y/span_x ~ sw/sh
+    # (a footprint covers more tiles along the axis where tiles are smaller).
+    span_x = max(int((max_tiles_per_gaussian * sh / sw) ** 0.5), 1)
+    span_y = max(min(int(span_x * sw / sh), max_tiles_per_gaussian // span_x), 1)
 
     rects, was_clipped = gaussian_tile_rects(
         jax.lax.stop_gradient(means2d),
         jax.lax.stop_gradient(extents),
         valid, img_w, img_h, tile_size,
         radius_pad=None if radius_pad is None else jax.lax.stop_gradient(radius_pad),
-        max_span=span,
+        max_span=(span_x, span_y),
     )
     w_rect = rects.x1 - rects.x0  # (N,)
     h_rect = rects.y1 - rects.y0
     n_touch = w_rect * h_rect
 
     # Expand: entry k of gaussian i covers tile (x0 + k % w, y0 + k // w).
-    k = jnp.arange(span * span, dtype=jnp.int32)[None, :]         # (1, M)
+    k = jnp.arange(span_x * span_y, dtype=jnp.int32)[None, :]     # (1, M)
     ex = rects.x0[:, None] + k % jnp.maximum(w_rect[:, None], 1)
     ey = rects.y0[:, None] + k // jnp.maximum(w_rect[:, None], 1)
     entry_valid = k < n_touch[:, None]
@@ -204,10 +224,10 @@ def build_tile_lists(
             pad_e = jnp.zeros((means2d.shape[0], 1), m2d.dtype)
         else:
             pad_e = jax.lax.stop_gradient(radius_pad)[:, None]
-        lx = ex.astype(m2d.dtype) * tile_size - m2d[:, 0:1] - pad_e
-        hx = lx + tile_size + 2 * pad_e
-        ly = ey.astype(m2d.dtype) * tile_size - m2d[:, 1:2] - pad_e
-        hy = ly + tile_size + 2 * pad_e
+        lx = ex.astype(m2d.dtype) * sw - m2d[:, 0:1] - pad_e
+        hx = lx + sw + 2 * pad_e
+        ly = ey.astype(m2d.dtype) * sh - m2d[:, 1:2] - pad_e
+        hy = ly + sh + 2 * pad_e
         sig_min = _sigma_min_on_rect(
             lx, hx, ly, hy, con[:, 0:1], con[:, 1:2], con[:, 2:3]
         )                                                          # (N, M)

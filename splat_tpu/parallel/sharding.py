@@ -436,8 +436,9 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
         full_h = camera.height
         assert full_h % n_tile == 0, "image height must divide tile axis"
         strip_h = full_h // n_tile
-        assert strip_h % config.tile_size == 0, (
-            "strip height must be a multiple of tile_size"
+        from ..ops.tiling import tile_wh
+        assert strip_h % tile_wh(config.tile_size)[1] == 0, (
+            "strip height must be a multiple of the tile height"
         )
         row0 = jax.lax.axis_index("tile") * strip_h
         blur_idx = jax.lax.axis_index("blur")

@@ -204,3 +204,38 @@ def test_fused_reduce_mean_matches_manual(impl):
     g_red = jax.grad(lambda m: loss("mean", m))(proj.means2d)
     np.testing.assert_allclose(np.asarray(g_red), np.asarray(g_full),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_rect_tiles_pallas_matches_jnp():
+    """16x8 tiles (npix = 128, the TPU-preferred geometry): pallas forward and
+    gradients must match the jnp path, which must match square-tile output."""
+    proj, colors, opac, w, h = make_scene(seed=8, img_w=32, img_h=32)
+    bg = jnp.array([0.2, 0.1, 0.3])
+    eps = jnp.array([-0.03, 0.0, 0.04])
+    kw = dict(max_per_tile=128, max_tiles_per_gaussian=32,
+              rolling_shutter_time=0.04, chunk=16)
+
+    out_sq = rasterize.rasterize_fused(
+        proj, colors, opac, w, h, bg, eps=eps, impl="jnp", tile_size=8, **kw
+    )
+    out_j = rasterize.rasterize_fused(
+        proj, colors, opac, w, h, bg, eps=eps, impl="jnp", tile_size=(16, 8), **kw
+    )
+    out_p = rasterize.rasterize_fused(
+        proj, colors, opac, w, h, bg, eps=eps, impl="pallas", tile_size=(16, 8), **kw
+    )
+    np.testing.assert_allclose(np.asarray(out_j.rgb), np.asarray(out_sq.rgb), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.rgb), np.asarray(out_j.rgb), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.alpha), np.asarray(out_j.alpha), atol=1e-4)
+
+    def loss(impl, means2d):
+        p = proj._replace(means2d=means2d)
+        out = rasterize.rasterize_fused(
+            p, colors, opac, w, h, bg, eps=eps, impl=impl, tile_size=(16, 8),
+            reduce="mean", **kw
+        )
+        return jnp.mean(out.rgb ** 2)
+
+    g_j = jax.grad(lambda m: loss("jnp", m))(proj.means2d)
+    g_p = jax.grad(lambda m: loss("pallas", m))(proj.means2d)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j), atol=2e-4, rtol=1e-3)
