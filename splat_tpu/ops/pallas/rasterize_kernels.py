@@ -487,7 +487,7 @@ def _bwd_one_tile(
     jax.lax.while_loop(cond, body, init)
 
 
-def _tiles_per_step(n_tiles: int, max_tps: int = 4) -> int:
+def _tiles_per_step(n_tiles: int, max_tps: int = int(_os.environ.get("SPLAT_TPU_TPS", "8"))) -> int:
     """Largest power-of-two tile batch (<= max_tps) dividing the tile count."""
     tps = 1
     while tps * 2 <= max_tps and n_tiles % (tps * 2) == 0:
