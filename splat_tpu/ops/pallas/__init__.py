@@ -61,7 +61,7 @@ _composite_packed.defvjp(_composite_fwd, _composite_bwd)
 def pack_param_table(
     proj: ProjectedGaussians, colors: jax.Array, opacities: jax.Array
 ) -> jax.Array:
-    """Per-Gaussian packed (N+1, 16) parameter table (row N = zero pad row).
+    """Per-Gaussian packed (N+1, NPARAM) parameter table (row N = zero pad row).
 
     One contiguous row per Gaussian makes the per-tile parameter fetch a
     SINGLE XLA row-gather (measured 7x faster on v5e than 12 strided SoA
@@ -84,8 +84,8 @@ def pack_param_table(
         log_op,
     ]
     n = proj.means2d.shape[0]
-    table = jnp.stack(cols, axis=1)                      # (N, 12)
-    table = jnp.pad(table, ((0, 1), (0, NPARAM - len(cols))))  # (N+1, 16)
+    table = jnp.stack(cols, axis=1)                      # (N, 13)
+    table = jnp.pad(table, ((0, 1), (0, NPARAM - len(cols))))  # (N+1, NPARAM)
     return table
 
 

@@ -41,11 +41,12 @@ CUDA kernels (SURVEY.md §2c #5/#6). Key departures from the CUDA design:
     (SURVEY.md §5).
 
 Packed layouts (K = max_per_tile, multiple of 128):
-  params  (T, 16, K): rows 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c
+  params  (T, NPARAM=13, K): rows 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c
                       5:r 6:g 7:b 8:op_eff 9:depth 10:pvx 11:pvy
-                      12:log(op_eff) (13..15 pad)
+                      12:log(op_eff) — no pad rows (HBM stays dense; Mosaic
+                      pads VMEM sublanes internally)
   out     (T, 8, npix): rows 0-2 rgb, 3 depth_acc, 4 T_final (5..7 pad)
-  d_params(T, 16, K): same rows as params.
+  d_params(T, NPARAM, K): same rows as params.
 """
 from __future__ import annotations
 
@@ -59,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..reference import ALPHA_THRESH, MAX_ALPHA, T_EPS
 
 CHUNK = 128
-NPARAM = 16
+NPARAM = 13   # used rows; Mosaic pads VMEM sublanes, HBM stays dense
 NOUT = 8
 
 

@@ -292,15 +292,16 @@ def _depth_slab_exchange(
 
     Mechanics: global 256-bin depth histogram (one psum) -> per-bin slab ids
     (quantile load balance at bin granularity) -> local stable sort by slab ->
-    fixed-capacity (n_shards, C, 18) buckets -> lax.all_to_all. Overflowed
+    fixed-capacity (n_shards, C, NPARAM+2) buckets -> lax.all_to_all. Overflowed
     rows (beyond C = slack * N_loc / n_shards) are dropped and counted; the
     transpose of the exchange routes slab-gradient rows straight back to the
     owning shard.
     """
     from ..ops.pallas import pack_param_table
 
-    table = pack_param_table(proj, colors, opacities)[:-1]   # (N_loc, 16)
-    rows = jnp.concatenate([table, proj.extents], axis=1)    # (N_loc, 18)
+    table = pack_param_table(proj, colors, opacities)[:-1]   # (N_loc, NPARAM)
+    npar = table.shape[1]
+    rows = jnp.concatenate([table, proj.extents], axis=1)    # (N_loc, NPARAM+2)
     n_loc, n_col = rows.shape
     d = n_shards
     depth = jax.lax.stop_gradient(table[:, 9])
@@ -347,11 +348,11 @@ def _depth_slab_exchange(
         means2d=rows_recv[:, 0:2],
         depths=rows_recv[:, 9],
         conics=rows_recv[:, 2:5],
-        radii=jnp.max(rows_recv[:, 16:18], axis=-1),
+        radii=jnp.max(rows_recv[:, npar:npar + 2], axis=-1),
         compensations=jnp.ones_like(op_eff),
         pix_vels=rows_recv[:, 10:12],
         valid=op_eff > 0,                                    # pad rows culled
-        extents=rows_recv[:, 16:18],
+        extents=rows_recv[:, npar:npar + 2],
     )
     return synth, rows_recv[:, 5:8], op_eff, overflow
 
