@@ -11,7 +11,13 @@ VIDEO=$1; NAME=${2:-custom-video}
 
 WORK=data/inputs-processed/video/$NAME
 mkdir -p "$WORK/images"
-ffmpeg -y -loglevel error -i "$VIDEO" -vf "select=not(mod(n\,$((${NUM_FRAMES:-100}))))" -vsync vfr "$WORK/images/frame_%05d.png"
+# NUM_FRAMES is a TARGET (reference: ns-process-data video --num-frames-target
+# 100): pick an every-Nth stride so about that many frames come out.
+TOTAL=$(ffprobe -v error -count_packets -select_streams v:0 \
+  -show_entries stream=nb_read_packets -of csv=p=0 "$VIDEO")
+TARGET=${NUM_FRAMES:-100}
+STRIDE=$(( (TOTAL + TARGET - 1) / TARGET )); [ "$STRIDE" -lt 1 ] && STRIDE=1
+ffmpeg -y -loglevel error -i "$VIDEO" -vf "select=not(mod(n\,$STRIDE))" -vsync vfr "$WORK/images/frame_%05d.png"
 $PY cli/run_colmap.py "$WORK"
 
 if [ "${ROLLING_SHUTTER:-OFF}" = "ON" ]; then
