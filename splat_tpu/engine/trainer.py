@@ -317,6 +317,7 @@ class Trainer:
             self.eval_opt_state = None
         self.key = jax.random.PRNGKey(tc.seed)
         self.step = 0
+        self._last_reset_step = -(10**9)
         self.history: list[dict] = []
         from ..utils.profiling import StepTimer
 
@@ -483,10 +484,15 @@ class Trainer:
 
             self.step += 1
 
-            # refinement schedule
+            # refinement schedule. Refine PAUSES after each opacity reset
+            # (until every train view has been revisited, splatfacto 1.1.0's
+            # `step % reset_interval > num_train_data + refine_every` guard)
+            # so freshly-reset opacities are not judged before re-settling.
+            reset_pause = len(self.train_cams) + cfg.refine_every
             if (
                 self.step % cfg.refine_every == 0
                 and cfg.warmup_length <= self.step
+                and self.step - self._last_reset_step > reset_pause
             ):
                 self.params = self.params._replace(
                     gaussians=self._refine_gaussians()
@@ -498,6 +504,7 @@ class Trainer:
                     self.params = self.params._replace(
                         gaussians=self.reset_opacity(self.params.gaussians)
                     )
+                    self._last_reset_step = self.step
 
             if self.step % tc.log_every == 0 or self.step == steps:
                 rec = {
@@ -632,6 +639,13 @@ class Trainer:
             eval_velocity_opt=state["eval_velocity_opt"],
         )
         self.step = int(state["step"])
+        # Reconstruct the most recent opacity-reset step (reset steps are a
+        # pure function of the schedule) so a resumed run keeps the
+        # post-reset refine pause without widening the checkpoint tree.
+        cfg = self.model_config
+        interval = cfg.refine_every * max(cfg.reset_alpha_every, 1)
+        if cfg.reset_alpha_every > 0 and self.step >= interval:
+            self._last_reset_step = (self.step // interval) * interval
 
 
 def compute_lpips_suite(preds, gts) -> float | None:

@@ -189,8 +189,11 @@ def make_refine(config: SplatfactoConfig):
 
 def make_reset_opacity(config: SplatfactoConfig):
     """Opacity reset (every reset_alpha_every refinements): clamp opacities to
-    just below the cull threshold so transient blobs must re-earn opacity."""
-    reset_val = _logit(min(config.cull_alpha_thresh * 0.95, 0.99))
+    2x the cull threshold (splatfacto 1.1.0 reset value) — low enough that
+    transient blobs must re-earn opacity, high enough that nothing is
+    mass-culled at the next refine. The trainer additionally pauses
+    densify/cull for num_train_images + refine_every steps after a reset."""
+    reset_val = _logit(min(config.cull_alpha_thresh * 2.0, 0.99))
 
     @jax.jit
     def _reset(params: GaussianParams) -> GaussianParams:

@@ -153,3 +153,59 @@ def test_learnable_background_receives_gradients(fixture_scene):
     assert float(jnp.abs(t.params.background_logit).sum()) == 0.0
     t.run(10)
     assert float(jnp.abs(t.params.background_logit).sum()) > 0
+
+
+def test_opacity_reset_value_and_refine_pause(fixture_scene):
+    """Opacity reset clamps to 2x the cull threshold (the splatfacto 1.1.0
+    reset value — ABOVE the threshold, so nothing is mass-culled at the next
+    refine) and the trainer pauses densify/cull for num_train + refine_every
+    steps after each reset (upstream's `step % reset_interval >
+    num_train_data + refine_every` guard)."""
+    from splat_tpu.models import strategy as st
+
+    mc = small_model_config(reset_alpha_every=1)  # reset at every refine
+    reset = st.make_reset_opacity(mc)
+    n = 8
+    g = sf.GaussianParams(
+        means=jnp.zeros((n, 3)),
+        scales_log=jnp.zeros((n, 3)),
+        quats=jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
+        opacities_logit=jnp.linspace(-6.0, 6.0, n),
+        features_dc=jnp.zeros((n, 3)),
+        features_rest=jnp.zeros((n, 3, 3)),
+        alive=jnp.ones((n,)),
+    )
+    op = np.asarray(jax.nn.sigmoid(g.opacities_logit))
+    op2 = np.asarray(jax.nn.sigmoid(reset(g).opacities_logit))
+    cap = mc.cull_alpha_thresh * 2.0
+    assert np.max(op2) <= cap + 1e-5          # clamped down to 2x cull thresh
+    # the reset value sits ABOVE the cull bar: reset survivors are not culled
+    assert cap > mc.cull_alpha_thresh
+    low = op < cap
+    np.testing.assert_allclose(op2[low], op[low], rtol=1e-6)  # clamp, not set
+
+    # pause: with refine_every=20, warmup=10, 14 train views -> pause = 34
+    # steps, so the refines at +20 after each reset must be skipped.
+    mc = small_model_config(
+        warmup_length=10, refine_every=20, reset_alpha_every=1
+    )
+    t = tr.Trainer(fixture_scene, mc, tr.TrainerConfig(max_steps=100, seed=0))
+    n_train = len(t.train_cams)
+    pause = n_train + mc.refine_every
+    calls = []
+    orig = t.refine
+
+    def spy(*a, **k):
+        calls.append(t.step)
+        return orig(*a, **k)
+
+    t.refine = spy
+    t.run(100)
+    assert calls, "refine never ran"
+    expected = []
+    last_reset = -(10**9)
+    for s in range(20, 101, 20):
+        if s - last_reset > pause:
+            expected.append(s)
+            last_reset = s  # reset_alpha_every=1: every refine resets
+    assert calls == expected, (calls, expected, pause)
