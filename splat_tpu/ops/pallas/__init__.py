@@ -15,10 +15,16 @@ directions deterministic, no scatter-adds anywhere (SURVEY.md §5).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A/B knob: cut the gather<->transpose fusion with optimization_barriers so
+# XLA materializes the (L, 16) row-gather and the (T, K, 16) slot-slice as
+# separate contiguous buffers instead of one fused strided-write gather.
+_GATHER_BARRIER = _os.environ.get("SPLAT_TPU_GATHER_BARRIER", "0") != "0"
 
 from .. import tiling
 from ..projection import ProjectedGaussians
@@ -110,9 +116,14 @@ def _gather_table(table, sorted_ids, starts, entry_slots, max_per_tile, k_pad):
     the M axis. Deterministic, and ~3x cheaper because L << T*K and the sort
     already happened at binning time."""
     sp = jnp.take(table, sorted_ids, axis=0)                # (L, 16)
+    if _GATHER_BARRIER:
+        sp = jax.lax.optimization_barrier(sp)
     sp = jnp.concatenate([sp, jnp.zeros((k_pad, sp.shape[1]), sp.dtype)], axis=0)
     pos = starts[:, None] + jnp.arange(k_pad, dtype=jnp.int32)[None, :]
-    return jnp.take(sp, pos, axis=0)                        # (T, K_pad, 16)
+    out = jnp.take(sp, pos, axis=0)                         # (T, K_pad, 16)
+    if _GATHER_BARRIER:
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def _gather_table_fwd(table, sorted_ids, starts, entry_slots, max_per_tile, k_pad):
