@@ -83,6 +83,14 @@ _MM_PRECISION = (
     if _os.environ.get("SPLAT_TPU_MM_PRECISION", "default").lower() == "highest"
     else jax.lax.Precision.DEFAULT
 )
+# Precision of the backward epilogue's pixel-basis moment matmuls. These were
+# HIGHEST (6-pass f32 MXU emulation) — ~36 MXU block passes per chunk, about
+# equal to ALL five per-sample matmuls combined. HIGH (3-pass bf16_3x) keeps
+# ~f32 fidelity at half the passes; see scripts_dev/probe_mom_precision.py.
+_MOM_PRECISION = getattr(
+    jax.lax.Precision,
+    _os.environ.get("SPLAT_TPU_MOM_PRECISION", "HIGHEST").upper(),
+)
 
 
 def _pixel_coords(tile_size, tx, ty, img_h: int, rs_time, row_offset, eps_s,
@@ -444,7 +452,7 @@ def _bwd_one_tile(
             return jax.lax.dot_general(
                 phi6[:, :nb], Pk, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_MOM_PRECISION,
             )                                       # (nb, chunk)
 
         M0 = mom(P0, 6)   # rows: 1, px, py, px^2, px*py, py^2
