@@ -57,7 +57,21 @@ def main(argv=None):
         # the live viewer thread reads trainer.params concurrently; donated
         # buffers would be invalidated mid-render
         tc = dataclasses.replace(tc, donate_buffers=False)
-    trainer = tr.Trainer(scene, cfg.model, tc, output_dir=run_dir)
+    mesh = None
+    if cfg.mesh.enabled:
+        import jax
+
+        from splat_tpu.parallel import sharding
+
+        img_h = scene.train_cameras.height
+        mesh = sharding.resolve_mesh(cfg.mesh, cfg.model, img_h)
+        print(
+            "mesh: "
+            + " x ".join(f"{k}={v}" for k, v in mesh.shape.items())
+            + f"  ({len(mesh.devices.flat)} of {jax.device_count()} devices)",
+            flush=True,
+        )
+    trainer = tr.Trainer(scene, cfg.model, tc, output_dir=run_dir, mesh=mesh)
 
     if "viewer" in (cfg.vis or ""):
         # live-training browser viewer (ns-train --vis viewer equivalent)

@@ -16,8 +16,10 @@ scheme for novel-view evaluation splits:
           `eval_*` sharing the train poses (reference :118-143) -> `-deblurring`
 
 Plus: exact known intrinsics for the Deblur-NeRF synthetic renders
-(reference :183-197) and `--manual_point_cloud` re-triangulation. COLMAP is
-driven through `run_colmap`; hloc/superpoint is not available here.
+(reference :183-197) and `--manual_point_cloud` re-triangulation. SfM is
+driven through `run_colmap` with `--sfm-backend {colmap,hloc}`: hloc
+(superpoint+lightglue, the reference's choice, :87-101) when installed,
+COLMAP-exhaustive as the documented fallback.
 """
 import argparse
 import json
@@ -111,14 +113,24 @@ def build_deblurring_split(transforms: dict, test_images: list[str], out_dir: Pa
     return transforms
 
 
-def run_sfm(image_dir: Path, output_folder: Path, dry_run: bool):
-    """Register images with COLMAP into the benchmark format."""
-    from run_colmap import colmap_available, export_transforms, run_colmap_once
+def run_sfm(image_dir: Path, output_folder: Path, dry_run: bool,
+            sfm_backend: str = "colmap"):
+    """Register images into the benchmark format.
 
-    print(f"colmap: {image_dir} -> {output_folder}")
+    Backends (reference process_deblur_nerf_inputs.py:87-101 passes
+    `--feature-type superpoint --matcher-type superpoint+lightglue`):
+      hloc   — superpoint + lightglue, the reference's choice for these blurry
+               benchmark frames (needs hloc installed);
+      colmap — exhaustive SIFT fallback: same transforms.json/sparse_pc.ply
+               contract, but classical features may register fewer of the most
+               blurred frames.
+    """
+    from run_colmap import colmap_available, export_transforms, run_sfm_once
+
+    print(f"{sfm_backend}: {image_dir} -> {output_folder}")
     if dry_run:
         return
-    if not colmap_available():
+    if sfm_backend == "colmap" and not colmap_available():
         raise SystemExit("colmap binary not found (external dependency)")
     if output_folder.exists():
         shutil.rmtree(output_folder)
@@ -127,8 +139,8 @@ def run_sfm(image_dir: Path, output_folder: Path, dry_run: bool):
         shutil.copyfile(f, output_folder / "images" / f.name)
     with tempfile.TemporaryDirectory() as td:
         work = Path(td)
-        if not run_colmap_once(image_dir, work):
-            raise SystemExit("colmap failed")
+        if not run_sfm_once(image_dir, work, backend=sfm_backend):
+            raise SystemExit(f"{sfm_backend} failed")
         export_transforms(work, output_folder)
 
 
@@ -173,7 +185,8 @@ def process(input_folder: Path, args, pass_no: int = 1):
                 shutil.copyfile(f, staging / new_name)
             n += 1
         print(f"{n} images staged")
-        run_sfm(staging, output_folder, args.dry_run)
+        run_sfm(staging, output_folder, args.dry_run,
+                sfm_backend=getattr(args, 'sfm_backend', 'colmap'))
 
     json_fn = output_folder / "transforms.json"
     transforms = json.loads(json_fn.read_text()) if json_fn.exists() else {"frames": []}
@@ -217,6 +230,10 @@ def main(argv=None):
     ap.add_argument("--manual_point_cloud", action="store_true")
     ap.add_argument("--post_process_only", action="store_true")
     ap.add_argument("--dry_run", action="store_true")
+    ap.add_argument("--sfm-backend", default="colmap",
+                    choices=["colmap", "hloc"],
+                    help="hloc = superpoint+lightglue (reference :87-101); "
+                         "colmap = exhaustive SIFT fallback")
     args = ap.parse_args(argv)
 
     if args.input_folder:

@@ -30,6 +30,33 @@ def colorize_depth(depth: np.ndarray, alpha: np.ndarray | None = None) -> np.nda
     return (rgba[..., :3] * 255).astype(np.uint8)
 
 
+def depth_to_normals(
+    depth: np.ndarray, fx: float, fy: float, cx: float, cy: float
+) -> np.ndarray:
+    """Camera-space surface normals from the rendered depth map.
+
+    Unprojects each pixel to a 3D point and takes the cross product of the
+    image-space point derivatives — the normals output of the reference's
+    render_model (`render_model.py:135-146` saves pred normals when the model
+    provides them; splat depth is the model's geometric output here).
+    Returns (H, W, 3) in [0, 1] (n/2 + 0.5 encoding, OpenCV camera axes)."""
+    h, w = depth.shape
+    u = np.arange(w, dtype=np.float32)[None, :]
+    v = np.arange(h, dtype=np.float32)[:, None]
+    x = (u - cx) / fx * depth
+    y = (v - cy) / fy * depth
+    pts = np.stack([x, y, depth], axis=-1)
+    du = np.gradient(pts, axis=1)
+    dv = np.gradient(pts, axis=0)
+    n = np.cross(du, dv)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.maximum(norm, 1e-9)
+    # orient toward the camera (-z half-space in OpenCV convention)
+    flip = (n[..., 2:3] > 0)
+    n = np.where(flip, -n, n)
+    return n * 0.5 + 0.5
+
+
 def load_trainer_from_config(config_path: Path):
     """eval_setup equivalent: config.json -> (cfg, trainer-with-checkpoint)."""
     from splat_tpu.data import dataparser as dp
@@ -54,6 +81,11 @@ def main(argv=None):
     ap.add_argument("--split", default="eval", choices=["eval", "train"])
     ap.add_argument("--output-dir", default="", help="default: <run_dir>/renders/<split>")
     ap.add_argument("--no-depth", action="store_true")
+    ap.add_argument(
+        "--normals", action="store_true",
+        help="also save depth-derived camera-space normal maps "
+             "(reference render_model.py:135-146)",
+    )
     args = ap.parse_args(argv)
 
     from splat_tpu.utils.env import respect_jax_platforms_env
@@ -100,6 +132,15 @@ def main(argv=None):
             np.save(out_dir / f"{i:05d}_depth.npy", depth)
             Image.fromarray(colorize_depth(depth, alpha)).save(
                 out_dir / f"{i:05d}_depth.png"
+            )
+        if args.normals:
+            depth = np.asarray(out.depth)
+            nrm = depth_to_normals(
+                depth, float(cam.fx[0]), float(cam.fy[0]),
+                float(cam.cx[0]), float(cam.cy[0]),
+            )
+            Image.fromarray((nrm * 255).astype(np.uint8)).save(
+                out_dir / f"{i:05d}_normal.png"
             )
     print(f"rendered {len(cams)} {args.split} views -> {out_dir}")
 

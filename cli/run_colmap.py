@@ -23,6 +23,64 @@ def colmap_available() -> bool:
     return shutil.which("colmap") is not None
 
 
+def hloc_available() -> bool:
+    """hloc (superpoint + lightglue) — the reference's learned-feature SfM
+    backend (`ns-process-data --feature-type superpoint --matcher-type
+    superpoint+lightglue`, reference process_deblur_nerf_inputs.py:87-101).
+    External dependency, same class as the colmap binary."""
+    try:
+        import hloc  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_hloc_once(image_dir: Path, work_dir: Path,
+                  feature_type: str = "superpoint",
+                  matcher_type: str = "superpoint+lightglue") -> bool:
+    """SfM via hloc's python API: superpoint features + lightglue matching +
+    pycolmap reconstruction. Produces the same sparse-model layout as
+    run_colmap_once (sparse/0) so export_transforms works on either backend.
+
+    Behavioral delta vs COLMAP-exhaustive (documented for the fallback):
+    learned features register low-texture / blurry frames that SIFT misses —
+    the reference uses this for the Deblur-NeRF benchmark conversions — but
+    both backends emit the same transforms.json/sparse_pc.ply contract."""
+    from hloc import (extract_features, match_features, pairs_from_exhaustive,
+                      reconstruction)
+
+    feats = {"superpoint": "superpoint_aachen"}.get(feature_type, feature_type)
+    feature_conf = extract_features.confs[feats]
+    matcher_conf = match_features.confs[matcher_type]
+
+    sfm_pairs = work_dir / "pairs.txt"
+    sfm_dir = work_dir / "sparse" / "0"
+    features = extract_features.main(feature_conf, image_dir, work_dir)
+    pairs_from_exhaustive.main(sfm_pairs, features=features)
+    matches = match_features.main(
+        matcher_conf, sfm_pairs, feature_conf["output"], work_dir
+    )
+    reconstruction.main(sfm_dir, image_dir, sfm_pairs, features, matches)
+    return sfm_dir.exists()
+
+
+def run_sfm_once(image_dir: Path, work_dir: Path, backend: str = "colmap",
+                 **kw) -> bool:
+    """Dispatch one SfM attempt to the selected backend."""
+    if backend == "hloc":
+        if not hloc_available():
+            raise SystemExit(
+                "--sfm-backend hloc requested but hloc is not installed. "
+                "Install hloc (github.com/cvg/Hierarchical-Localization) or "
+                "fall back to --sfm-backend colmap (exhaustive SIFT matching; "
+                "fewer registrations on blurry/low-texture frames, same "
+                "output contract)."
+            )
+        return run_hloc_once(image_dir, work_dir, **kw)
+    return run_colmap_once(image_dir, work_dir)
+
+
 def run_colmap_once(image_dir: Path, work_dir: Path, camera_model="SIMPLE_PINHOLE",
                     matching="exhaustive") -> bool:
     db = work_dir / "database.db"
@@ -58,12 +116,13 @@ def export_transforms(work_dir: Path, out_dir: Path) -> None:
     colmap_text_to_transforms(work_dir / "text", out_dir)
 
 
-def process(input_folder: Path, output_folder: Path, max_retries: int, dry_run: bool):
+def process(input_folder: Path, output_folder: Path, max_retries: int,
+            dry_run: bool, sfm_backend: str = "colmap"):
     image_dir = input_folder / "images"
-    print(f"colmap: {image_dir} -> {output_folder}")
+    print(f"{sfm_backend}: {image_dir} -> {output_folder}")
     if dry_run:
         return
-    if not colmap_available():
+    if sfm_backend == "colmap" and not colmap_available():
         raise SystemExit(
             "colmap binary not found on PATH. Install COLMAP or run the "
             "pipeline on a machine that has it (external dependency, same as "
@@ -72,12 +131,12 @@ def process(input_folder: Path, output_folder: Path, max_retries: int, dry_run: 
     for attempt in range(max_retries):
         with tempfile.TemporaryDirectory() as td:
             work = Path(td)
-            if run_colmap_once(image_dir, work):
+            if run_sfm_once(image_dir, work, backend=sfm_backend):
                 export_transforms(work, output_folder)
-                print("CONGRATS: colmap succeeded")
+                print("CONGRATS: sfm succeeded")
                 return
-        print(f"colmap attempt {attempt + 1}/{max_retries} failed, retrying")
-    raise SystemExit(f"colmap failed after {max_retries} attempts")
+        print(f"{sfm_backend} attempt {attempt + 1}/{max_retries} failed, retrying")
+    raise SystemExit(f"{sfm_backend} failed after {max_retries} attempts")
 
 
 def main(argv=None):
@@ -88,6 +147,11 @@ def main(argv=None):
     ap.add_argument("--max_retries", type=int, default=10)
     ap.add_argument("--dry_run", action="store_true")
     ap.add_argument("--case_number", type=int, default=-1)
+    ap.add_argument(
+        "--sfm-backend", default="colmap", choices=["colmap", "hloc"],
+        help="colmap = exhaustive SIFT (binary on PATH); hloc = "
+             "superpoint+lightglue (reference's Deblur-NeRF converter path)",
+    )
     args = ap.parse_args(argv)
 
     prefix = Path(args.processed_prefix)
@@ -104,7 +168,8 @@ def main(argv=None):
     else:
         selected = [Path(args.input_folder)]
     for case in selected:
-        process(case, out_root / case.name, args.max_retries, args.dry_run)
+        process(case, out_root / case.name, args.max_retries, args.dry_run,
+                sfm_backend=args.sfm_backend)
 
 
 if __name__ == "__main__":

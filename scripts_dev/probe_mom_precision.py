@@ -93,10 +93,16 @@ def run(prec_name):
     return val, dt
 
 
-ref, dt_ref = run("HIGHEST")
-print(f"HIGHEST  {dt_ref:8.3f} ms  (reference)", flush=True)
-scale = jnp.max(jnp.abs(ref), axis=(0, 2), keepdims=True) + 1e-30
-for prec in ("HIGH", "DEFAULT"):
-    val, dt = run(prec)
-    relerr = float(jnp.max(jnp.abs(val - ref) / scale))
-    print(f"{prec:8s} {dt:8.3f} ms  max row-relerr {relerr:.2e}", flush=True)
+# restore the module knob afterwards so an in-process import of this probe
+# leaves rk in its import-time state (last probed value would otherwise stick)
+_orig_mom_precision = rk._MOM_PRECISION
+try:
+    ref, dt_ref = run("HIGHEST")
+    print(f"HIGHEST  {dt_ref:8.3f} ms  (reference)", flush=True)
+    scale = jnp.max(jnp.abs(ref), axis=(0, 2), keepdims=True) + 1e-30
+    for prec in ("HIGH", "DEFAULT"):
+        val, dt = run(prec)
+        relerr = float(jnp.max(jnp.abs(val - ref) / scale))
+        print(f"{prec:8s} {dt:8.3f} ms  max row-relerr {relerr:.2e}", flush=True)
+finally:
+    rk._MOM_PRECISION = _orig_mom_precision

@@ -17,6 +17,7 @@ from typing import Any, get_args, get_origin
 from ..cameras import optimizers as cam_opt
 from ..data.dataparser import DataParserConfig
 from ..models.splatfacto import SplatfactoConfig
+from ..parallel.sharding import MeshConfig
 from .trainer import TrainerConfig
 
 
@@ -40,6 +41,9 @@ class RunConfig:
     dataparser: DataParserConfig = dataclasses.field(
         default_factory=lambda: DataParserConfig(eval_mode="interval")
     )
+    # multi-chip training mesh: --mesh.enabled True [--mesh.data/gauss/blur/tile N]
+    # (0 = auto-fill from jax.device_count(); reference is single-GPU, §2d)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
     def run_dir(self) -> Path:
         ts = self.timestamp or datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
@@ -110,6 +114,7 @@ _ROOT_ALIASES = {
     "model": "model",
     "trainer": "trainer",
     "optimizers": "trainer",
+    "mesh": "mesh",
 }
 
 
@@ -133,11 +138,12 @@ def help_text() -> str:
         ("run", RunConfig, "--"),
         ("model", SplatfactoConfig, "--pipeline.model."),
         ("trainer", TrainerConfig, "--trainer."),
+        ("mesh (multi-chip)", MeshConfig, "--mesh."),
         ("dataparser (after 'nerfstudio-data')", DataParserConfig, "--"),
     ):
         out.write(f"\n[{title}]\n")
         for f in dataclasses.fields(cls):
-            if f.name in ("model", "trainer", "dataparser"):
+            if f.name in ("model", "trainer", "dataparser", "mesh"):
                 continue
             default = getattr(cls(), f.name, None)
             if dataclasses.is_dataclass(default):
@@ -243,6 +249,8 @@ def load_config(path: Path) -> RunConfig:
                 kw[f.name] = dec(TrainerConfig, v)
             elif f.name == "dataparser" and isinstance(v, dict):
                 kw[f.name] = dec(DataParserConfig, v)
+            elif f.name == "mesh" and isinstance(v, dict):
+                kw[f.name] = dec(MeshConfig, v)
             elif f.name == "camera_optimizer" and isinstance(v, dict):
                 kw[f.name] = dec(cam_opt.CameraOptConfig, v)
             elif f.name == "camera_velocity_optimizer" and isinstance(v, dict):

@@ -272,6 +272,11 @@ class Trainer:
     model_config: sf.SplatfactoConfig
     trainer_config: TrainerConfig = TrainerConfig()
     output_dir: Path | None = None
+    # jax.sharding.Mesh with axes (data, gauss, blur, tile) — or None for the
+    # single-device path. Built by parallel.sharding.resolve_mesh from the
+    # CLI's --mesh.* flags (reference is single-GPU, SURVEY.md §2d; the mesh
+    # runs ITS per-run loop, train.py:111-201, across chips).
+    mesh: Any = None
 
     def __post_init__(self):
         from ..utils.env import enable_compilation_cache
@@ -300,11 +305,36 @@ class Trainer:
         self.strat_state = st.init_strategy_state(
             self.params.gaussians.alive.shape[0], tc.seed
         )
-        self.train_step = make_train_step(cfg, self.optimizer, donate=tc.donate_buffers)
-        self.train_scan = (
-            make_train_scan(cfg, self.optimizer, donate=tc.donate_buffers)
-            if tc.scan_steps > 1 else None
-        )
+        if self.mesh is not None:
+            from ..parallel import sharding as sh_mod
+
+            self._sharding = sh_mod
+            self.data_batch = self.mesh.shape.get("data", 1)
+            n_gauss = self.mesh.shape.get("gauss", 1)
+            cap = self.params.gaussians.alive.shape[0]
+            assert cap % max(n_gauss, 1) == 0, (
+                f"gaussian capacity {cap} must divide the gauss axis {n_gauss}"
+            )
+            self.params, self.opt_state, self.strat_state = sh_mod.place_train_state(
+                self.mesh, self.params, self.opt_state, self.strat_state
+            )
+            self.train_step = sh_mod.make_sharded_train_step(
+                cfg, self.mesh, self.optimizer, donate=tc.donate_buffers
+            )
+            self.train_scan = (
+                sh_mod.make_sharded_train_scan(
+                    cfg, self.mesh, self.optimizer, donate=tc.donate_buffers
+                )
+                if tc.scan_steps > 1 else None
+            )
+        else:
+            self._sharding = None
+            self.data_batch = 1
+            self.train_step = make_train_step(cfg, self.optimizer, donate=tc.donate_buffers)
+            self.train_scan = (
+                make_train_scan(cfg, self.optimizer, donate=tc.donate_buffers)
+                if tc.scan_steps > 1 else None
+            )
         self.refine = st.make_refine(cfg)
         self.reset_opacity = st.make_reset_opacity(cfg)
         if cfg.optimize_eval_cameras and self.params.eval_camera_opt:
@@ -312,7 +342,12 @@ class Trainer:
             self.eval_opt_state = self.eval_optimizer.init(
                 {"cam": self.params.eval_camera_opt, "vel": self.params.eval_velocity_opt}
             )
-            self.eval_opt_step = make_eval_opt_step(cfg, self.eval_optimizer)
+            if self.mesh is not None:
+                self.eval_opt_step = self._sharding.make_sharded_eval_opt_step(
+                    cfg, self.mesh, self.eval_optimizer
+                )
+            else:
+                self.eval_opt_step = make_eval_opt_step(cfg, self.eval_optimizer)
         else:
             self.eval_opt_state = None
         self.key = jax.random.PRNGKey(tc.seed)
@@ -398,11 +433,26 @@ class Trainer:
             self._order = np.asarray(jax.random.permutation(k, n_train))
         return int(self._order[i])
 
+    def _next_camera_indices(self, n_train: int, count: int) -> list[int]:
+        """Batch sampling for the mesh 'data' axis: `count` consecutive draws
+        from the shuffled epoch order (cursor advances per CAMERA, not per
+        step, so resumes and the scan driver stay sequence-consistent)."""
+        out = []
+        for _ in range(count):
+            i = self._cam_cursor % n_train
+            if i == 0 or self._order is None:
+                self.key, k = jax.random.split(self.key)
+                self._order = np.asarray(jax.random.permutation(k, n_train))
+            out.append(int(self._order[i]))
+            self._cam_cursor += 1
+        return out
+
     def run(self, max_steps: int | None = None, progress_cb: Callable | None = None):
         cfg, tc = self.model_config, self.trainer_config
         n_train = len(self.train_cams)
         steps = max_steps if max_steps is not None else tc.max_steps
         self._order = None
+        self._cam_cursor = self.step * self.data_batch
         t0 = time.time()
         it = 0
         while it < steps:
@@ -411,19 +461,32 @@ class Trainer:
             block = self._scan_block_size(steps - it)
             if self.train_scan is not None and block == tc.scan_steps > 1:
                 # multi-step dispatch: scan over the next `block` steps
-                idxs, keys = [], []
-                for b in range(block):
-                    # replicate the single-step sampling exactly
-                    i = (self.step + b) % n_train
-                    if i == 0 or self._order is None:
+                keys = []
+                if self.mesh is None:
+                    idxs = []
+                    for b in range(block):
+                        # replicate the single-step sampling exactly
+                        i = (self.step + b) % n_train
+                        if i == 0 or self._order is None:
+                            self.key, k = jax.random.split(self.key)
+                            self._order = np.asarray(jax.random.permutation(k, n_train))
+                        idxs.append(int(self._order[i]))
                         self.key, k = jax.random.split(self.key)
-                        self._order = np.asarray(jax.random.permutation(k, n_train))
-                    idxs.append(int(self._order[i]))
-                    self.key, k = jax.random.split(self.key)
-                    keys.append(k)
-                arr = np.asarray(idxs)
-                cams_b = level_cams[arr[:, None]]        # leaves (B, 1, ...)
-                gts_b = jnp.asarray(level_imgs[arr])
+                        keys.append(k)
+                    arr = np.asarray(idxs)
+                    cams_b = level_cams[arr[:, None]]    # leaves (B, 1, ...)
+                    gts_b = jnp.asarray(level_imgs[arr])
+                else:
+                    # mesh path: per step, d camera draws then the step key —
+                    # the same stream the per-step sharded driver consumes
+                    rows = []
+                    for b in range(block):
+                        rows.append(self._next_camera_indices(n_train, self.data_batch))
+                        self.key, k = jax.random.split(self.key)
+                        keys.append(k)
+                    arr = np.asarray(rows)               # (B, d)
+                    cams_b = level_cams[arr]             # leaves (B, d, ...)
+                    gts_b = jnp.asarray(level_imgs[arr])  # (B, d, H, W, 3)
                 steps_b = jnp.arange(self.step, self.step + block)
                 keys_b = jnp.stack(keys)
                 self.timer.start()
@@ -451,9 +514,16 @@ class Trainer:
                 self.step += block - 1   # final increment below, shared path
                 it += block - 1
             else:
-                ci = self._next_camera_index(n_train)
-                cam = level_cams[ci]
-                gt = jnp.asarray(level_imgs[ci])
+                if self.mesh is None:
+                    ci = self._next_camera_index(n_train)
+                    cam = level_cams[ci]
+                    gt = jnp.asarray(level_imgs[ci])
+                else:
+                    arr = np.asarray(
+                        self._next_camera_indices(n_train, self.data_batch)
+                    )
+                    cam = level_cams[arr]                # leaves (d, ...)
+                    gt = jnp.asarray(level_imgs[arr])    # (d, H, W, 3)
                 self.key, k = jax.random.split(self.key)
                 self.timer.start()
                 (self.params, self.opt_state, self.strat_state, loss, aux) = self.train_step(
@@ -474,9 +544,16 @@ class Trainer:
                 and self.step % tc.eval_opt_every == 0
                 and len(self.eval_cams) > 0
             ):
-                ei = (self.step // tc.eval_opt_every) % len(self.eval_cams)
-                ecam = self.eval_cams[ei]
-                egt = jnp.asarray(self.eval_images.images[ei])
+                n_eval = len(self.eval_cams)
+                d = self.data_batch
+                ei = ((self.step // tc.eval_opt_every) * d) % n_eval
+                if self.mesh is None:
+                    ecam = self.eval_cams[ei]
+                    egt = jnp.asarray(self.eval_images.images[ei])
+                else:
+                    eis = np.asarray([(ei + j) % n_eval for j in range(d)])
+                    ecam = self.eval_cams[eis]
+                    egt = jnp.asarray(self.eval_images.images[eis])
                 self.key, k = jax.random.split(self.key)
                 self.params, self.eval_opt_state = self.eval_opt_step(
                     self.params, self.eval_opt_state, ecam, egt, jnp.asarray(self.step), k
@@ -505,6 +582,15 @@ class Trainer:
                         gaussians=self.reset_opacity(self.params.gaussians)
                     )
                     self._last_reset_step = self.step
+                if self.mesh is not None:
+                    # refine's global argsort/cumsum (and capacity growth) run
+                    # on the global view; re-pin the state to its mesh
+                    # shardings so the next step's shard_map gets clean inputs
+                    (self.params, self.opt_state, self.strat_state) = (
+                        self._sharding.place_train_state(
+                            self.mesh, self.params, self.opt_state, self.strat_state
+                        )
+                    )
 
             if self.step % tc.log_every == 0 or self.step == steps:
                 rec = {
@@ -639,6 +725,12 @@ class Trainer:
             eval_velocity_opt=state["eval_velocity_opt"],
         )
         self.step = int(state["step"])
+        if self.mesh is not None:
+            self.params, self.opt_state, self.strat_state = (
+                self._sharding.place_train_state(
+                    self.mesh, self.params, self.opt_state, self.strat_state
+                )
+            )
         # Reconstruct the most recent opacity-reset step (reset steps are a
         # pure function of the schedule) so a resumed run keeps the
         # post-reset refine pause without widening the checkpoint tree.

@@ -87,10 +87,13 @@ _MM_PRECISION = (
 # HIGHEST (6-pass f32 MXU emulation) — ~36 MXU block passes per chunk, about
 # equal to ALL five per-sample matmuls combined. HIGH (3-pass bf16_3x) keeps
 # ~f32 fidelity at half the passes; see scripts_dev/probe_mom_precision.py.
-_MOM_PRECISION = getattr(
-    jax.lax.Precision,
-    _os.environ.get("SPLAT_TPU_MOM_PRECISION", "HIGHEST").upper(),
-)
+_mom_env = _os.environ.get("SPLAT_TPU_MOM_PRECISION", "HIGHEST").upper()
+if _mom_env not in ("DEFAULT", "HIGH", "HIGHEST"):
+    raise ValueError(
+        f"SPLAT_TPU_MOM_PRECISION={_mom_env!r}: expected one of "
+        "DEFAULT | HIGH | HIGHEST"
+    )
+_MOM_PRECISION = getattr(jax.lax.Precision, _mom_env)
 
 
 def _pixel_coords(tile_size, tx, ty, img_h: int, rs_time, row_offset, eps_s,

@@ -74,12 +74,19 @@ def project_gaussians(
     lin_vel: jax.Array | None = None,
     ang_vel: jax.Array | None = None,
     clip_thresh: float = DEFAULT_CLIP_THRESH,
+    lim_img_h: int | None = None,
 ) -> ProjectedGaussians:
     """Project N Gaussians into one camera; optionally emit pixel velocities.
 
     lin_vel/ang_vel: camera-frame velocities (3,) of the *camera*; a static world
     point then moves at Xdot_cam = -omega x X_cam - v in the camera frame, and its
     pixel velocity is the projection Jacobian applied to Xdot (Appendix B.3).
+
+    lim_img_h: height to use for the EWA frustum clamp (defaults to img_h).
+    Row-strip sharded rendering passes the FULL image height here so the
+    Jacobian linearization point — and thus every projected covariance — is
+    bit-identical to the single-device render (the clamp is centered on the
+    optical axis and depends only on the image height, not on cy).
     """
     dtype = means3d.dtype
     hi = jax.lax.Precision.HIGHEST  # geometry must stay true f32 on the MXU
@@ -96,7 +103,7 @@ def project_gaussians(
     # EWA Jacobian with gsplat's frustum clamping of x/z, y/z (1.15x fov guard
     # keeps the linearization sane for gaussians far outside the frustum).
     lim_x = 1.3 * (0.5 * img_w / fx)
-    lim_y = 1.3 * (0.5 * img_h / fy)
+    lim_y = 1.3 * (0.5 * (img_h if lim_img_h is None else lim_img_h) / fy)
     tx = zs * jnp.clip(x / zs, -lim_x, lim_x)
     ty = zs * jnp.clip(y / zs, -lim_y, lim_y)
 

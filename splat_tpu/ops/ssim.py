@@ -26,6 +26,23 @@ def ssim(
     data_range: float = 1.0,
 ) -> jax.Array:
     """Mean SSIM over an (H, W, C) image pair (uniform window weighting)."""
+    return ssim_map(img0, img1, window_size, sigma, k1, k2, data_range).mean()
+
+
+def ssim_map(
+    img0: jax.Array,
+    img1: jax.Array,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+    data_range: float = 1.0,
+) -> jax.Array:
+    """Per-window SSIM map, shape (H-w+1, W-w+1, C) — valid windows only.
+
+    Each window value depends only on its own rows, so row-strip shards can
+    evaluate their windows locally and combine via masked sums (the exact
+    multi-chip SSIM in parallel.sharding)."""
     assert img0.ndim == 3, "expected (H, W, C)"
     half = window_size // 2
     x = jnp.arange(window_size, dtype=img0.dtype) - half
@@ -66,7 +83,7 @@ def ssim(
     c2 = (k2 * data_range) ** 2
     num = (2 * mu01 + c1) * (2 * s01 + c2)
     den = (mu00 + mu11 + c1) * (s00 + s11 + c2)
-    return (num / den).mean()
+    return num / den
 
 
 def psnr(img0: jax.Array, img1: jax.Array, data_range: float = 1.0) -> jax.Array:

@@ -28,9 +28,11 @@ Semantics notes:
   * rolling shutter uses GLOBAL scanline times (rs_row_offset plumbing in
     ops.rasterize), so strip-sharded rendering is bit-consistent with
     single-device rendering;
-  * SSIM is computed per strip (valid 11x11 windows only): windows straddling
-    strip boundaries are dropped from the mean — a documented approximation of
-    the single-device loss, vanishing as strip height >> 11.
+  * SSIM is EXACT vs the single-device loss: each strip ppermutes the 10 rows
+    below its boundary from the next shard(s), evaluates the 11x11 windows
+    that START in its own rows, and the masked window sums are psum-combined
+    (per-window SSIM is a local computation, so the global mean is exactly
+    reproduced).
 """
 from __future__ import annotations
 
@@ -46,7 +48,6 @@ from ..cameras import optimizers as cam_opt
 from ..cameras.cameras import Cameras
 from ..models import splatfacto as sf
 from ..ops import projection, rasterize, se3
-from ..ops.ssim import ssim as ssim_fn
 
 
 def make_mesh(n_blur: int, n_tile: int, devices=None, n_gauss: int = 1) -> Mesh:
@@ -126,6 +127,87 @@ def make_multihost_mesh(
     return Mesh(devs, ("data", "gauss", "blur", "tile"))
 
 
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """CLI-facing mesh spec (reference has no analogue — SURVEY.md §2d: the
+    distribution layer is new). Wired as `--mesh.*` flags on cli/fit.py.
+
+    Axis sizes; 0 = auto. `enabled=False` (default) trains single-device.
+    With `enabled=True` and all axes auto, every visible device is used:
+    blur gets the largest divisor of blur_samples that fits, the rest of the
+    devices go to tile strips (subject to the image-height divisibility
+    constraint), leftovers to gauss."""
+
+    enabled: bool = False
+    data: int = 1
+    gauss: int = 1
+    blur: int = 0
+    tile: int = 0
+
+
+def _divisors_desc(n: int) -> list[int]:
+    return [d for d in range(n, 0, -1) if n % d == 0]
+
+
+def resolve_mesh(
+    mc: MeshConfig,
+    config: "sf.SplatfactoConfig",
+    img_h: int,
+    n_devices: int | None = None,
+) -> Mesh:
+    """Build the training mesh from a MeshConfig (auto-filling 0 axes).
+
+    The returned mesh ALWAYS has a 'data' axis (size >= 1); the trainer batches
+    `data` cameras per step. Constraints honored by auto-fill: blur divides
+    blur_samples; tile divides the image height into tile-aligned strips of
+    >= 10 rows (the SSIM halo needs at most one extra neighbour hop otherwise —
+    allowed, but avoided by auto)."""
+    from ..ops.tiling import tile_wh
+
+    n_dev = n_devices if n_devices is not None else jax.device_count()
+    data = mc.data or 1
+    gauss = mc.gauss or 1
+    assert n_dev % (data * gauss) == 0, (
+        f"{n_dev} devices not divisible by data*gauss = {data * gauss}"
+    )
+    rem = n_dev // (data * gauss)
+    s = max(config.blur_samples, 1)
+    tile_h = tile_wh(config.tile_size)[1]
+    blur, tile = mc.blur, mc.tile
+    if blur == 0 and tile == 0:
+        # prefer tile strips (scales any scene), fall back to blur
+        for t in _divisors_desc(rem):
+            strip = img_h // t
+            if img_h % t == 0 and strip % tile_h == 0 and (rem // t) <= s and s % (rem // t) == 0:
+                tile, blur = t, rem // t
+                break
+        else:
+            tile, blur = 1, max(d for d in _divisors_desc(rem) if s % d == 0)
+    elif blur == 0:
+        assert rem % tile == 0, (rem, tile)
+        blur = max(d for d in _divisors_desc(rem // tile) if s % d == 0)
+    elif tile == 0:
+        assert rem % blur == 0, (rem, blur)
+        tile = rem // blur
+    assert s % blur == 0, f"blur_samples={s} not divisible by blur axis {blur}"
+    assert img_h % tile == 0 and (img_h // tile) % tile_h == 0, (
+        f"image height {img_h} must split into {tile} tile-aligned strips"
+    )
+    used = data * gauss * blur * tile
+    assert used <= n_dev, (used, n_dev)
+    if used == n_dev:
+        return make_multihost_mesh(n_blur=blur, n_tile=tile, n_gauss=gauss, n_data=data)
+    # constraints left devices idle (e.g. blur_samples coprime with the
+    # device count): single-process fallback over a device subset
+    assert jax.process_count() == 1, (
+        f"multi-host meshes must use all devices (axes use {used} of {n_dev})"
+    )
+    import numpy as np
+
+    devs = np.asarray(jax.devices()[:used]).reshape(data, gauss, blur, tile)
+    return Mesh(devs, ("data", "gauss", "blur", "tile"))
+
+
 def param_specs(mesh: Mesh) -> "sf.ModelParams":
     """PartitionSpec pytree for ModelParams on this mesh.
 
@@ -155,17 +237,22 @@ def _render_strip_linear(
     means2d_probe: jax.Array | None = None,
     gauss_axis: str | None = None,
     gauss_shards: int = 1,
+    is_eval: bool = False,
 ):
     """Linear-space rgb sum over the local blur sub-frames for one row strip.
 
     Returns (rgb_sum (strip_h, W, 3), n_local_samples). Mirrors
-    sf.render_camera's math with strip-local intrinsics.
-    """
+    sf.render_camera's math with strip-local intrinsics. is_eval routes the
+    eval-camera pose/velocity parameter tables (reference
+    `--optimize-eval-cameras`, the caller stop-gradients the scene)."""
     g = params.gaussians
-    camera = cam_opt.apply_camera_opt(camera, params.camera_opt, config.camera_optimizer)
-    camera = cam_opt.apply_velocity_opt(
-        camera, params.velocity_opt, config.camera_velocity_optimizer
-    )
+    cam_par = (params.eval_camera_opt, params.eval_velocity_opt) if is_eval else (
+        params.camera_opt, params.velocity_opt)
+    camera = cam_opt.apply_camera_opt(camera, cam_par[0], config.camera_optimizer)
+    vel_cfg = config.camera_velocity_optimizer
+    if is_eval and not config.optimize_eval_velocities:
+        vel_cfg = dataclasses.replace(vel_cfg, enabled=False)
+    camera = cam_opt.apply_velocity_opt(camera, cam_par[1], vel_cfg)
 
     scales = jnp.exp(g.scales_log)
     opac = jax.nn.sigmoid(g.opacities_logit) * jax.lax.stop_gradient(g.alive)
@@ -188,6 +275,7 @@ def _render_strip_linear(
         proj = projection.project_gaussians(
             g.means, scales, g.quats, R_cw, t_cw, fx, fy, cx, cy_local,
             w, strip_h, lin_vel=v, ang_vel=om,
+            lim_img_h=full_h,   # full-image frustum clamp: bit-identical cov2d
         )
         if means2d_probe is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_probe)
@@ -407,11 +495,63 @@ def _all_gather_projected(
     return synth, table_g[:, 5:8], op_eff
 
 
-def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool = False):
-    """Build loss(params, camera, gt) sharded over the ('blur','tile') mesh.
+def _halo_rows_below(x: jax.Array, axis: str, n_rows: int, n_shards: int) -> jax.Array:
+    """The n_rows of the image directly below this device's row strip.
 
-    gt arrives row-sharded over 'tile'; params/camera replicated. Returns a
-    replicated scalar; jax.grad through it all-reduces parameter gradients.
+    ppermute from the next shard(s) along `axis` (multi-hop when the strip is
+    shorter than n_rows); the last strip receives zeros — its windows that
+    would use them are masked out by the caller."""
+    strip_h = x.shape[0]
+    hops = -(-n_rows // strip_h)
+    parts = []
+    for hop in range(1, hops + 1):
+        src = x if strip_h < n_rows else x[:n_rows]
+        perm = [(i, i - hop) for i in range(hop, n_shards)]
+        parts.append(jax.lax.ppermute(src, axis, perm))
+    return jnp.concatenate(parts, axis=0)[:n_rows]
+
+
+def _exact_strip_ssim(
+    pred: jax.Array, gt: jax.Array, row0, full_h: int, n_tile: int,
+    window_size: int = 11,
+) -> jax.Array:
+    """Globally exact SSIM over row strips (one value, replicated over 'tile').
+
+    Each strip evaluates the 11x11 windows STARTING in its own rows (halo rows
+    from below via ppermute), masks window rows that extend past the image,
+    and the window sums psum into the exact full-image mean."""
+    from ..ops.ssim import ssim_map
+
+    pad = window_size - 1
+    if n_tile > 1:
+        pred = jnp.concatenate(
+            [pred, _halo_rows_below(pred, "tile", pad, n_tile)], axis=0
+        )
+        gt = jnp.concatenate([gt, _halo_rows_below(gt, "tile", pad, n_tile)], axis=0)
+    smap = ssim_map(pred, gt, window_size)           # (rows_local, W-pad, C)
+    rows = smap.shape[0]
+    valid = (row0 + jnp.arange(rows)) < (full_h - pad)  # window start fits
+    total = jnp.sum(smap * valid[:, None, None])
+    count = jnp.sum(valid) * smap.shape[1] * smap.shape[2]
+    if n_tile > 1:
+        total = jax.lax.psum(total, "tile")
+        count = jax.lax.psum(count, "tile")
+    return total / count
+
+
+def make_sharded_loss(
+    config: sf.SplatfactoConfig,
+    mesh: Mesh,
+    with_probe: bool = False,
+    is_eval: bool = False,
+):
+    """Build loss(params, camera, gt, probe, step, key) sharded over the mesh.
+
+    gt arrives row-sharded over 'tile' (and batched over 'data' when present);
+    params replicated (or 'gauss'-sharded). `step` is traced — the SH-degree
+    warm-up schedule (Appendix C) applies exactly as on one device. `key`
+    feeds the random-background mode. Returns a replicated scalar; jax.grad
+    through it all-reduces parameter gradients.
     """
     n_blur = mesh.shape["blur"]
     n_tile = mesh.shape["tile"]
@@ -429,7 +569,7 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
     )
     s_local = s_total // n_blur
 
-    def local_loss(params, camera, gt_strip, probe):
+    def local_loss(params, camera, gt_strip, probe, step, key):
         if data_axis is not None:
             # camera arrives as this device's slice of the camera batch
             # (B_local=1); gt_strip as (1, strip_h, W, 3).
@@ -451,13 +591,14 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
             eps_all = jnp.zeros((1,))
         eps_local = jax.lax.dynamic_slice(eps_all, (blur_idx * s_local,), (s_local,))
 
-        bg = sf.background_color(params, config)
-        sh_deg = config.sh_degree  # static max; schedule masking via probe path
+        bg = sf.background_color(params, config, key)
+        sh_deg = sf.active_sh_degree(config, step)   # traced warm-up schedule
         rgb_sum, _ = _render_strip_linear(
             params, camera, config, sh_deg, bg, strip_h, row0, eps_local,
             means2d_probe=probe if with_probe else None,
             gauss_axis=gauss_axis,
             gauss_shards=mesh.shape.get("gauss", 1),
+            is_eval=is_eval,
         )
         # mean over ALL sub-frames: psum over the blur axis
         rgb_mean = jax.lax.psum(rgb_sum, "blur") / s_total
@@ -465,10 +606,10 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
         pred = sf.apply_black_level(pred, config)
         gt = sf.apply_black_level(gt_strip, config)
 
-        l1 = jnp.abs(pred - gt).mean()
-        ssim_v = ssim_fn(pred, gt)
-        strip_loss = (1 - config.ssim_lambda) * l1 + config.ssim_lambda * (1 - ssim_v)
-        loss = jax.lax.psum(strip_loss, "tile") / n_tile
+        # L1 over strips of equal size: mean of strip means == global mean
+        l1 = jax.lax.pmean(jnp.abs(pred - gt).mean(), "tile")
+        ssim_v = _exact_strip_ssim(pred, gt, row0, full_h, n_tile)
+        loss = (1 - config.ssim_lambda) * l1 + config.ssim_lambda * (1 - ssim_v)
         # blur axis already reduced into rgb_mean; average the identical
         # replicas so the value stays replicated for out_specs=P()
         loss = jax.lax.pmean(loss, "blur")
@@ -502,28 +643,152 @@ def make_sharded_loss(config: sf.SplatfactoConfig, mesh: Mesh, with_probe: bool 
     return jax.shard_map(
         local_loss,
         mesh=mesh,
-        in_specs=(p_spec, cam_spec, gt_spec, probe_spec),
+        in_specs=(p_spec, cam_spec, gt_spec, probe_spec, P(), P()),
         out_specs=P(),
         check_vma=False,
     )
 
 
-def make_sharded_train_step(
-    config: sf.SplatfactoConfig, mesh: Mesh, optimizer
-):
-    """Jitted multi-chip train step: sharded render+loss, replicated update."""
+def _sharded_step_body(config: sf.SplatfactoConfig, mesh: Mesh, optimizer):
+    """Shared body of the sharded train step / scan: render+loss (shard_map),
+    grads, optimizer update, densification-strategy accumulation — the mesh
+    version of trainer._train_step_body."""
+    import optax
+
+    from ..models import strategy as st
+
     loss_fn = make_sharded_loss(config, mesh, with_probe=True)
 
-    @jax.jit
-    def train_step(params, opt_state, camera, gt, step):
-        import optax
-
+    def step_body(params, opt_state, strat_state, camera, gt, step, key):
         probe = jnp.zeros_like(params.gaussians.means[:, :2])
         loss_val, (g_params, g_probe) = jax.value_and_grad(
-            lambda p, pr: loss_fn(p, camera, gt, pr), argnums=(0, 1)
+            lambda p, pr: loss_fn(p, camera, gt, pr, step, key), argnums=(0, 1)
         )(params, probe)
         updates, opt_state = optimizer.update(g_params, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss_val, g_probe
+        visible = jnp.linalg.norm(g_probe, axis=-1) > 0
+        strat_state = st.accumulate_grads(
+            strat_state, g_probe, visible, camera.width, camera.height
+        )
+        aux = {"n_visible": visible.sum()}
+        return params, opt_state, strat_state, loss_val, aux
 
-    return train_step
+    return step_body
+
+
+def make_sharded_train_step(
+    config: sf.SplatfactoConfig, mesh: Mesh, optimizer, donate: bool = True
+):
+    """Jitted multi-chip train step — same signature as trainer.make_train_step
+    so the Trainer drives either interchangeably: (params, opt_state,
+    strat_state, camera, gt, step, key) -> (params, opt_state, strat_state,
+    loss, aux). With a 'data' axis of size B, camera is a B-batch and gt is
+    (B, H, W, 3)."""
+    body = _sharded_step_body(config, mesh, optimizer)
+    return jax.jit(body, donate_argnums=(0, 1, 2) if donate else ())
+
+
+def make_sharded_train_scan(
+    config: sf.SplatfactoConfig, mesh: Mesh, optimizer, donate: bool = True
+):
+    """lax.scan over B consecutive sharded steps (one dispatch per block) —
+    the mesh version of trainer.make_train_scan; numerically identical step
+    sequence. Scanned xs carry a leading block axis: cameras (B, D, ...),
+    gts (B, D, H, W, 3), steps/keys (B, ...)."""
+    body = _sharded_step_body(config, mesh, optimizer)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def train_scan(params, opt_state, strat_state, cameras, gts, steps, keys):
+        def scan_body(carry, xs):
+            params, opt_state, strat_state = carry
+            cam, gt, step, key = xs
+            params, opt_state, strat_state, loss, aux = body(
+                params, opt_state, strat_state, cam, gt, step, key
+            )
+            return (params, opt_state, strat_state), (loss, aux["n_visible"])
+
+        (params, opt_state, strat_state), (losses, n_vis) = jax.lax.scan(
+            scan_body, (params, opt_state, strat_state), (cameras, gts, steps, keys)
+        )
+        return params, opt_state, strat_state, losses, n_vis
+
+    return train_scan
+
+
+def make_sharded_eval_opt_step(
+    config: sf.SplatfactoConfig, mesh: Mesh, eval_optimizer
+):
+    """Optimize eval-camera pose/velocity params on the mesh WITHOUT touching
+    the scene (reference `--optimize-eval-cameras`): the scene renders through
+    the sharded loss with stop_gradient on everything but the eval tables."""
+    import optax
+
+    loss_fn = make_sharded_loss(config, mesh, with_probe=False, is_eval=True)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def eval_opt_step(params, eval_opt_state, camera, gt, step, key):
+        probe = jnp.zeros_like(params.gaussians.means[:, :2])
+
+        def loss(eval_cam, eval_vel):
+            frozen = jax.tree.map(jax.lax.stop_gradient, params)
+            p = frozen._replace(eval_camera_opt=eval_cam, eval_velocity_opt=eval_vel)
+            return loss_fn(p, camera, gt, probe, step, key)
+
+        gc, gv = jax.grad(loss, argnums=(0, 1))(
+            params.eval_camera_opt, params.eval_velocity_opt
+        )
+        updates, eval_opt_state = eval_optimizer.update(
+            {"cam": gc, "vel": gv}, eval_opt_state,
+            {"cam": params.eval_camera_opt, "vel": params.eval_velocity_opt},
+        )
+        new = optax.apply_updates(
+            {"cam": params.eval_camera_opt, "vel": params.eval_velocity_opt}, updates
+        )
+        params = params._replace(
+            eval_camera_opt=new["cam"], eval_velocity_opt=new["vel"]
+        )
+        return params, eval_opt_state
+
+    return eval_opt_step
+
+
+def train_state_shardings(mesh: Mesh, params, opt_state, strat_state):
+    """NamedShardings for (params, opt_state, strat_state) on this mesh.
+
+    Gaussian-capacity leaves (leading dim == capacity) shard over 'gauss'
+    (this includes the Adam moment pytrees inside opt_state); everything else
+    replicates. Used both to place initial state and to re-place after the
+    host-side refine/grow events."""
+    from jax.sharding import NamedSharding
+
+    capacity = params.gaussians.alive.shape[0]
+    has_gauss = "gauss" in mesh.shape and mesh.shape["gauss"] > 1
+    rep = NamedSharding(mesh, P())
+    gshard = NamedSharding(mesh, P("gauss")) if has_gauss else rep
+
+    def leaf_sharding(leaf):
+        if (
+            has_gauss
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.shape[0] == capacity
+        ):
+            return NamedSharding(mesh, P(*("gauss",) + (None,) * (leaf.ndim - 1)))
+        return rep
+
+    return (
+        jax.tree.map(leaf_sharding, params),
+        jax.tree.map(leaf_sharding, opt_state),
+        jax.tree.map(leaf_sharding, strat_state),
+    )
+
+
+def place_train_state(mesh: Mesh, params, opt_state, strat_state):
+    """device_put the training state onto its mesh shardings (initial
+    placement and re-placement after refine / capacity growth)."""
+    sh = train_state_shardings(mesh, params, opt_state, strat_state)
+    return (
+        jax.device_put(params, sh[0]),
+        jax.device_put(opt_state, sh[1]),
+        jax.device_put(strat_state, sh[2]),
+    )

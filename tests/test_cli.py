@@ -164,7 +164,7 @@ def test_render_model_outputs(fit_run):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     subprocess.check_call(
         [sys.executable, str(REPO / "cli" / "render_model.py"),
-         "--load-config", str(config_path)],
+         "--load-config", str(config_path), "--normals"],
         cwd=REPO, env=env,
     )
     renders = config_path.parent / "renders" / "eval"
@@ -173,6 +173,49 @@ def test_render_model_outputs(fit_run):
     assert (renders / "00000_gt.png").exists()
     assert (renders / "00000_depth.npy").exists()
     assert (renders / "00000_depth.png").exists()
+    assert (renders / "00000_normal.png").exists()  # ref render_model.py:135-146
+
+
+def test_depth_to_normals_plane():
+    """Fronto-parallel plane -> normals point straight at the camera (-z),
+    encoded as (0.5, 0.5, 0); a slanted plane tilts the normal accordingly."""
+    sys.path.insert(0, str(REPO / "cli"))
+    import render_model as rm
+
+    flat = np.full((16, 16), 2.0, np.float32)
+    n = rm.depth_to_normals(flat, fx=20.0, fy=20.0, cx=8.0, cy=8.0)
+    np.testing.assert_allclose(n[4:12, 4:12], np.broadcast_to(
+        [0.5, 0.5, 0.0], (8, 8, 3)), atol=0.25)
+    # slanted: z = 2 + c*y (depth grows downward); the camera-facing normal
+    # is prop. to (0, +c, -1) in OpenCV axes -> y component moves POSITIVE
+    v = np.arange(16, dtype=np.float32)[:, None]
+    slant = 2.0 + 0.05 * np.broadcast_to(v, (16, 16))
+    ns = rm.depth_to_normals(slant, fx=20.0, fy=20.0, cx=8.0, cy=8.0)
+    assert ns[8, 8, 1] > n[8, 8, 1] + 0.05
+
+
+def test_sfm_backend_dispatch(monkeypatch, tmp_path):
+    """--sfm-backend hloc errors clearly when hloc is missing, and dispatches
+    to the hloc runner when present; colmap path untouched."""
+    sys.path.insert(0, str(REPO / "cli"))
+    import run_colmap as rc
+
+    monkeypatch.setattr(rc, "hloc_available", lambda: False)
+    with pytest.raises(SystemExit, match="hloc"):
+        rc.run_sfm_once(tmp_path, tmp_path, backend="hloc")
+
+    called = {}
+    monkeypatch.setattr(rc, "hloc_available", lambda: True)
+    monkeypatch.setattr(
+        rc, "run_hloc_once", lambda img, work, **kw: called.setdefault("hloc", True)
+    )
+    assert rc.run_sfm_once(tmp_path, tmp_path, backend="hloc") is True
+    assert called.get("hloc")
+    monkeypatch.setattr(
+        rc, "run_colmap_once", lambda img, work: called.setdefault("colmap", True)
+    )
+    assert rc.run_sfm_once(tmp_path, tmp_path, backend="colmap") is True
+    assert called.get("colmap")
 
 
 def test_train_driver_dry_run(tmp_path):
