@@ -57,3 +57,62 @@ def test_lpips_batch(fake_weights):
     gts = [np.clip(p + 0.05, 0, 1) for p in preds]
     v = lp.lpips_batch(preds, gts)
     assert v is not None and v > 0
+
+
+def _torch_lpips_oracle(img0, img1, weights):
+    """Independent re-derivation of the published LPIPS-AlexNet algebra
+    (richzhang/PerceptualSimilarity forward: scaling layer on [-1,1] inputs,
+    AlexNet feature trunk with maxpool(3,2) after convs 0/1, per-layer
+    channel-unit-normalization, learned 1x1 weights on squared differences,
+    spatial average, sum over layers) written against torch.nn.functional —
+    a conv/pool implementation with no code or lowering shared with the jnp
+    graph under test. Matching it pins the graph semantics (padding, pool
+    placement, normalization epsilons), not just "it runs"."""
+    import torch
+    import torch.nn.functional as F
+
+    def feats(im):
+        x = torch.from_numpy(np.asarray(im)).permute(2, 0, 1)[None].double()
+        x = x * 2.0 - 1.0
+        shift = torch.tensor([-0.030, -0.088, -0.188]).double()
+        scale = torch.tensor([0.458, 0.448, 0.450]).double()
+        x = (x - shift[None, :, None, None]) / scale[None, :, None, None]
+        out = []
+        for k, (idx, (_, _, stride, pad)) in enumerate(
+            zip(lp._CONV_IDX, lp._ALEX_CONVS)
+        ):
+            w = torch.from_numpy(weights[f"features.{idx}.weight"]).double()
+            b = torch.from_numpy(weights[f"features.{idx}.bias"]).double()
+            x = F.relu(F.conv2d(x, w, b, stride=stride, padding=pad))
+            out.append(x)
+            if k in (0, 1):
+                x = F.max_pool2d(x, kernel_size=3, stride=2)
+        return out
+
+    f0, f1 = feats(img0), feats(img1)
+    total = 0.0
+    for k, (a, b) in enumerate(zip(f0, f1)):
+        na = a / (a.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+        nb = b / (b.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+        d = (na - nb).pow(2)
+        lin = torch.from_numpy(weights[f"lin{k}.weight"]).double()
+        total = total + (d * lin).sum(dim=1).mean().item()
+    return total
+
+
+# Golden value of the fixture below (seeds 0/5), computed ONCE from the torch
+# oracle above in float64 and pinned so the jnp graph cannot silently drift
+# even if the oracle and graph were ever changed together.
+_GOLDEN_LPIPS = 0.40018757409436306
+
+
+def test_lpips_matches_independent_torch_oracle(fake_weights):
+    torch = pytest.importorskip("torch")  # noqa: F841 (cpu torch is baked in)
+    raw = dict(np.load(fake_weights))
+    rng = np.random.default_rng(5)
+    x = rng.uniform(size=(35, 37, 3)).astype(np.float32)  # odd dims: pad paths
+    y = np.clip(x + rng.normal(size=x.shape) * 0.2, 0, 1).astype(np.float32)
+    want = _torch_lpips_oracle(x, y, raw)
+    got = lp.lpips(x, y)
+    assert got == pytest.approx(want, rel=2e-4), (got, want)
+    assert got == pytest.approx(_GOLDEN_LPIPS, rel=2e-4), got
