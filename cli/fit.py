@@ -114,6 +114,12 @@ def main(argv=None):
             trainer.save_checkpoint(run_dir / "checkpoints" / f"step_{trainer.step}")
 
     wall = time.time() - t0
+    if trainer.model_config is not cfg.model:
+        # adaptive tile capacity may have grown max_per_tile mid-run; the
+        # manifest must match so reload (render_model/ns-eval) re-renders
+        # with the same capacity instead of silently re-dropping entries
+        cfg = dataclasses.replace(cfg, model=trainer.model_config)
+        cfg_mod.save_config(cfg, run_dir / "config.json")
     metrics = trainer.evaluate()
     out = {
         "experiment_name": cfg.experiment_name,

@@ -67,6 +67,15 @@ class TrainerConfig:
     # buffer donation in the train step; fit.py disables it for --vis viewer
     # (a concurrent reader must not see donated-away params)
     donate_buffers: bool = True
+    # Adaptive per-tile depth-list capacity: at refine boundaries, probe the
+    # UNCLAMPED per-tile populations (sf.binning_counts) on the last trained
+    # camera; when the dropped-entry fraction exceeds tile_overflow_tol on two
+    # consecutive probes, double model.max_per_tile (recompile — same cost
+    # class as capacity growth) up to max_tile_capacity. gsplat's per-tile
+    # lists are unbounded (SURVEY §2c #3); a static cap must adapt to match.
+    adapt_tile_capacity: bool = True
+    tile_overflow_tol: float = 0.002   # fraction of total entries dropped
+    max_tile_capacity: int = 2048
 
 
 def param_labels(params: sf.ModelParams) -> Any:
@@ -318,6 +327,33 @@ class Trainer:
             self.params, self.opt_state, self.strat_state = sh_mod.place_train_state(
                 self.mesh, self.params, self.opt_state, self.strat_state
             )
+        else:
+            self._sharding = None
+            self.data_batch = 1
+        if cfg.optimize_eval_cameras and self.params.eval_camera_opt:
+            self.eval_optimizer = optax.adam(tc.lr_camera_opt, eps=1e-15)
+            self.eval_opt_state = self.eval_optimizer.init(
+                {"cam": self.params.eval_camera_opt, "vel": self.params.eval_velocity_opt}
+            )
+        else:
+            self.eval_opt_state = None
+        self._build_step_fns()
+        self.key = jax.random.PRNGKey(tc.seed)
+        self.step = 0
+        self._last_reset_step = -(10**9)
+        self.history: list[dict] = []
+        from ..utils.profiling import StepTimer
+
+        self.timer = StepTimer()
+
+    def _build_step_fns(self):
+        """(Re)build every jitted function that closes over model_config —
+        called at init and again whenever the config changes mid-run (adaptive
+        tile capacity). Optimizer/strategy STATE is untouched: only the traced
+        programs are refreshed."""
+        cfg, tc = self.model_config, self.trainer_config
+        if self.mesh is not None:
+            sh_mod = self._sharding
             self.train_step = sh_mod.make_sharded_train_step(
                 cfg, self.mesh, self.optimizer, donate=tc.donate_buffers
             )
@@ -328,8 +364,6 @@ class Trainer:
                 if tc.scan_steps > 1 else None
             )
         else:
-            self._sharding = None
-            self.data_batch = 1
             self.train_step = make_train_step(cfg, self.optimizer, donate=tc.donate_buffers)
             self.train_scan = (
                 make_train_scan(cfg, self.optimizer, donate=tc.donate_buffers)
@@ -337,26 +371,61 @@ class Trainer:
             )
         self.refine = st.make_refine(cfg)
         self.reset_opacity = st.make_reset_opacity(cfg)
-        if cfg.optimize_eval_cameras and self.params.eval_camera_opt:
-            self.eval_optimizer = optax.adam(tc.lr_camera_opt, eps=1e-15)
-            self.eval_opt_state = self.eval_optimizer.init(
-                {"cam": self.params.eval_camera_opt, "vel": self.params.eval_velocity_opt}
-            )
+        if self.eval_opt_state is not None:
             if self.mesh is not None:
                 self.eval_opt_step = self._sharding.make_sharded_eval_opt_step(
                     cfg, self.mesh, self.eval_optimizer
                 )
             else:
                 self.eval_opt_step = make_eval_opt_step(cfg, self.eval_optimizer)
-        else:
-            self.eval_opt_state = None
-        self.key = jax.random.PRNGKey(tc.seed)
-        self.step = 0
-        self._last_reset_step = -(10**9)
-        self.history: list[dict] = []
-        from ..utils.profiling import StepTimer
+        self._eval_render_fn = None
 
-        self.timer = StepTimer()
+    # ------------------------------------------- adaptive tile capacity
+    def _binning_probe_fn(self):
+        """Jitted unclamped per-tile population probe. The closure captures
+        model_config but is intentionally NOT rebuilt on max_per_tile bumps:
+        binning_counts does not depend on max_per_tile, so the cached trace
+        stays valid across them."""
+        if getattr(self, "_binning_probe", None) is None:
+            cfg = self.model_config
+
+            @jax.jit
+            def probe(params, camera):
+                return sf.binning_counts(params, camera, cfg)
+
+            self._binning_probe = probe
+        return self._binning_probe
+
+    def _maybe_adapt_tile_capacity(self) -> bool:
+        """Grow max_per_tile (x2, recompile) when the probe shows the binning
+        persistently dropping more than tile_overflow_tol of its entries —
+        the dense-scene saturation mode of BASELINE.md's scaling study."""
+        tc, cfg = self.trainer_config, self.model_config
+        cam = getattr(self, "_probe_cam", None)
+        if not tc.adapt_tile_capacity or cam is None:
+            return False
+        if cfg.max_per_tile >= tc.max_tile_capacity:
+            return False
+        counts = np.asarray(self._binning_probe_fn()(self.params, cam))
+        total = max(int(counts.sum()), 1)
+        over = int(np.maximum(counts - cfg.max_per_tile, 0).sum())
+        if over <= tc.tile_overflow_tol * total:
+            self._overflow_streak = 0
+            return False
+        self._overflow_streak = getattr(self, "_overflow_streak", 0) + 1
+        if self._overflow_streak < 2:
+            return False
+        need = int(counts.max())
+        new_k = cfg.max_per_tile
+        while new_k < need and new_k < tc.max_tile_capacity:
+            new_k *= 2
+        new_k = min(new_k, tc.max_tile_capacity)
+        if new_k == cfg.max_per_tile:
+            return False
+        self.model_config = dataclasses.replace(cfg, max_per_tile=new_k)
+        self._overflow_streak = 0
+        self._build_step_fns()
+        return True
 
     @staticmethod
     def _localize(cams: Cameras) -> Cameras:
@@ -489,6 +558,7 @@ class Trainer:
                     gts_b = jnp.asarray(level_imgs[arr])  # (B, d, H, W, 3)
                 steps_b = jnp.arange(self.step, self.step + block)
                 keys_b = jnp.stack(keys)
+                self._probe_cam = cams_b[-1]   # last step's camera(s)
                 self.timer.start()
                 (self.params, self.opt_state, self.strat_state, losses, _nv) = (
                     self.train_scan(
@@ -524,6 +594,7 @@ class Trainer:
                     )
                     cam = level_cams[arr]                # leaves (d, ...)
                     gt = jnp.asarray(level_imgs[arr])    # (d, H, W, 3)
+                self._probe_cam = cam
                 self.key, k = jax.random.split(self.key)
                 self.timer.start()
                 (self.params, self.opt_state, self.strat_state, loss, aux) = self.train_step(
@@ -576,6 +647,7 @@ class Trainer:
                 )
                 if self._maybe_grow():
                     pass  # opt/strategy state re-initialized at new capacity
+                self._maybe_adapt_tile_capacity()
                 n_ref = self.step // cfg.refine_every
                 if cfg.reset_alpha_every > 0 and n_ref % cfg.reset_alpha_every == 0 and self.step < cfg.stop_split_at:
                     self.params = self.params._replace(

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..cameras import optimizers as cam_opt
 from ..cameras.cameras import Cameras
-from ..ops import projection, rasterize, reference, se3, sh
+from ..ops import projection, rasterize, reference, se3, sh, tiling
 from ..ops.reference import RenderOutput
 
 
@@ -399,6 +399,54 @@ def render_camera(
     depth = outs.depth[outs.depth.shape[0] // 2]  # mid-exposure depth
     T = outs.transmittance.mean(axis=0)
     return RenderOutput(rgb=rgb, alpha=alpha, depth=depth, transmittance=T)
+
+
+def binning_counts(
+    params: ModelParams, camera: Cameras, config: SplatfactoConfig
+) -> jax.Array:
+    """UNCLAMPED per-tile depth-list populations at the mid-exposure pose —
+    the adaptive tile-capacity probe (ops.tiling.tile_population). Mirrors
+    render_camera's binning exactly (camera/velocity optimizers applied, same
+    motion radius_pad and conic cull) so `counts > config.max_per_tile` is
+    precisely the overflow the next train step's rasterizer would drop. The
+    trainer runs this at refine boundaries and grows max_per_tile (recompile,
+    like capacity growth) when overflow persists — gsplat's per-tile lists are
+    unbounded (SURVEY.md §2c #3), so a static cap must adapt to match."""
+    g = params.gaussians
+    camera = cam_opt.apply_camera_opt(camera, params.camera_opt, config.camera_optimizer)
+    camera = cam_opt.apply_velocity_opt(
+        camera, params.velocity_opt, config.camera_velocity_optimizer
+    )
+    scales = jnp.exp(g.scales_log)
+    opac = jax.nn.sigmoid(g.opacities_logit) * g.alive
+    R0, p0 = camera.R_c2w[0], camera.p_c2w[0]
+    v, om = camera.lin_vel[0], camera.ang_vel[0]
+    rs = jnp.where(
+        config.rolling_shutter_compensation, camera.rolling_shutter_time[0], 0.0
+    )
+    use_motion = config.blur_samples > 0 or config.rolling_shutter_compensation
+    eps = (blur_sample_times(camera.exposure_time[0], config)
+           if config.blur_samples > 0 else jnp.zeros((1,)))
+    R_cw = R0.T
+    t_cw = -jnp.matmul(R_cw, p0, precision=jax.lax.Precision.HIGHEST)
+    proj = projection.project_gaussians(
+        g.means, scales, g.quats, R_cw, t_cw,
+        camera.fx[0], camera.fy[0], camera.cx[0], camera.cy[0],
+        camera.width, camera.height,
+        lin_vel=v if use_motion else None,
+        ang_vel=om if use_motion else None,
+    )
+    comp = (jnp.ones_like(proj.compensations)
+            if config.rasterize_mode == "classic" else proj.compensations)
+    t_max = jnp.max(jnp.abs(eps)) + 0.5 * jnp.abs(rs)
+    radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * t_max
+    op_eff = opac * comp * proj.valid.astype(opac.dtype)
+    return tiling.tile_population(
+        proj.means2d, proj.extents, proj.depths, proj.valid,
+        camera.width, camera.height, config.tile_size,
+        config.max_tiles_per_gaussian,
+        radius_pad=radius_pad, conics=proj.conics, opacities=op_eff,
+    )
 
 
 def sh_eval_switch(

@@ -157,43 +157,16 @@ def gaussian_tile_rects(
     return TileRects(x0, y0, x1, y1), clipped & keep
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("img_w", "img_h", "tile_size", "max_per_tile",
-                     "max_tiles_per_gaussian", "materialize_indices"),
-)
-def build_tile_lists(
-    means2d: jax.Array,
-    extents: jax.Array,
-    depths: jax.Array,
-    valid: jax.Array,
-    img_w: int,
-    img_h: int,
-    tile_size: int = 16,
-    max_per_tile: int = 512,
-    max_tiles_per_gaussian: int = 64,
-    radius_pad: jax.Array | None = None,
-    conics: jax.Array | None = None,
-    opacities: jax.Array | None = None,
-    alpha_thresh: float = 1.0 / 255.0,
-    materialize_indices: bool = True,
-) -> TileLists:
-    """Build dense per-tile, depth-sorted Gaussian index lists.
-
-    conics/opacities (effective, i.e. compensation folded in): when given,
-    candidate (gaussian, tile) entries are EXACTLY culled by the peak alpha of
-    the conic over the tile rect (inflated by radius_pad for screen motion) —
-    entries whose best pixel cannot reach the compositing alpha floor are
-    dropped before the sort. This is lossless (the rasterizer would mask every
-    pixel anyway) and prunes the AABB footprint's corner/edge tiles for
-    anisotropic splats — less sort, gather, scatter and kernel work.
-    """
-    n = means2d.shape[0]
+def _expand_tile_entries(
+    means2d, extents, depths, valid, img_w, img_h, tile_size,
+    max_tiles_per_gaussian, radius_pad, conics, opacities, alpha_thresh,
+):
+    """Candidate (gaussian, tile) entries: footprint rects expanded to at most
+    M entries per gaussian, with the exact conic-vs-rect alpha cull applied.
+    Returns (tile_ids (N, M) int32 with TILE_SENTINEL for dead entries,
+    was_clipped (N,) bool). Shared by build_tile_lists and tile_population."""
     tw, th = num_tiles(img_w, img_h, tile_size)
     sw, sh = tile_wh(tile_size)
-    n_tiles = tw * th
-    # Per-axis span budget with span_x*span_y <= M and span_y/span_x ~ sw/sh
-    # (a footprint covers more tiles along the axis where tiles are smaller).
     span_x = max(int((max_tiles_per_gaussian * sh / sw) ** 0.5), 1)
     span_y = max(min(int(span_x * sw / sh), max_tiles_per_gaussian // span_x), 1)
 
@@ -238,6 +211,81 @@ def build_tile_lists(
         entry_valid = entry_valid & (sig_min <= sig_budget + 1e-4)
 
     tile_ids = jnp.where(entry_valid, ey * tw + ex, TILE_SENTINEL)  # (N, M)
+    return tile_ids, was_clipped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_w", "img_h", "tile_size", "max_tiles_per_gaussian"),
+)
+def tile_population(
+    means2d: jax.Array,
+    extents: jax.Array,
+    depths: jax.Array,
+    valid: jax.Array,
+    img_w: int,
+    img_h: int,
+    tile_size: int = 16,
+    max_tiles_per_gaussian: int = 64,
+    radius_pad: jax.Array | None = None,
+    conics: jax.Array | None = None,
+    opacities: jax.Array | None = None,
+    alpha_thresh: float = 1.0 / 255.0,
+) -> jax.Array:
+    """UNCLAMPED per-tile entry counts (num_tiles,) — the adaptive-capacity
+    probe. Same footprint + conic-cull logic as build_tile_lists (so the
+    counts are exactly what the binning would produce) but no sort and no
+    per-tile cap: a bincount over tile ids. The trainer compares these against
+    the configured max_per_tile to decide when to grow the capacity
+    (recompile), instead of silently dropping the deepest entries forever."""
+    tw, th = num_tiles(img_w, img_h, tile_size)
+    tile_ids, _ = _expand_tile_entries(
+        means2d, extents, depths, valid, img_w, img_h, tile_size,
+        max_tiles_per_gaussian, radius_pad, conics, opacities, alpha_thresh,
+    )
+    flat = jnp.clip(tile_ids.reshape(-1), 0, tw * th)  # sentinel -> extra bin
+    counts = jnp.zeros((tw * th + 1,), jnp.int32).at[flat].add(1)
+    return counts[:-1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_w", "img_h", "tile_size", "max_per_tile",
+                     "max_tiles_per_gaussian", "materialize_indices"),
+)
+def build_tile_lists(
+    means2d: jax.Array,
+    extents: jax.Array,
+    depths: jax.Array,
+    valid: jax.Array,
+    img_w: int,
+    img_h: int,
+    tile_size: int = 16,
+    max_per_tile: int = 512,
+    max_tiles_per_gaussian: int = 64,
+    radius_pad: jax.Array | None = None,
+    conics: jax.Array | None = None,
+    opacities: jax.Array | None = None,
+    alpha_thresh: float = 1.0 / 255.0,
+    materialize_indices: bool = True,
+) -> TileLists:
+    """Build dense per-tile, depth-sorted Gaussian index lists.
+
+    conics/opacities (effective, i.e. compensation folded in): when given,
+    candidate (gaussian, tile) entries are EXACTLY culled by the peak alpha of
+    the conic over the tile rect (inflated by radius_pad for screen motion) —
+    entries whose best pixel cannot reach the compositing alpha floor are
+    dropped before the sort. This is lossless (the rasterizer would mask every
+    pixel anyway) and prunes the AABB footprint's corner/edge tiles for
+    anisotropic splats — less sort, gather, scatter and kernel work.
+    """
+    n = means2d.shape[0]
+    tw, th = num_tiles(img_w, img_h, tile_size)
+    n_tiles = tw * th
+    tile_ids, was_clipped = _expand_tile_entries(
+        means2d, extents, depths, valid, img_w, img_h, tile_size,
+        max_tiles_per_gaussian, radius_pad, conics, opacities, alpha_thresh,
+    )
 
     depths_sg = jax.lax.stop_gradient(depths)
     depth_keys = jnp.broadcast_to(depths_sg[:, None], tile_ids.shape)
