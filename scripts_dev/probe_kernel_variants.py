@@ -14,10 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from splat_tpu.ops import projection, tiling
-from splat_tpu.ops.pallas import pack_param_table
-from splat_tpu.ops.pallas.rasterize_kernels import (
-    CHUNK, rasterize_bwd_packed, rasterize_fwd_packed,
+from splat_tpu.ops.pallas import (
+    pack_param_table, rasterize_bwd_packed, rasterize_fwd_packed,
 )
+from splat_tpu.ops.pallas.rasterize_kernels import CHUNK
 from splat_tpu.utils.env import enable_compilation_cache
 
 enable_compilation_cache()

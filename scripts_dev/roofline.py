@@ -17,12 +17,17 @@ v5e peaks used (public numbers, jax-ml.github.io/scaling-book):
 Run on CPU (stats are data-dependent but deterministic):
   JAX_PLATFORMS=cpu python scripts_dev/roofline.py
 """
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize force-selects the remote axon backend; env alone loses
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

@@ -31,9 +31,24 @@ from ..projection import ProjectedGaussians
 from .rasterize_kernels import (
     CHUNK,
     NPARAM,
-    rasterize_bwd_packed,
-    rasterize_fwd_packed,
 )
+
+# Kernel layout: "row" = gaussian chunk on lanes (CHUNK=128 granularity);
+# "gmajor" = pixels on lanes, gaussians on sublanes (GCHUNK=32 granularity —
+# see rasterize_kernels_gmajor.py docstring for the lane-utilization math).
+_LAYOUT = _os.environ.get("SPLAT_TPU_LAYOUT", "row").lower()
+if _LAYOUT == "gmajor":
+    from .rasterize_kernels_gmajor import (
+        GCHUNK as _K_ALIGN,
+        rasterize_bwd_gpacked as rasterize_bwd_packed,
+        rasterize_fwd_gpacked as rasterize_fwd_packed,
+    )
+else:
+    from .rasterize_kernels import (
+        rasterize_bwd_packed,
+        rasterize_fwd_packed,
+    )
+    _K_ALIGN = CHUNK
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -192,11 +207,16 @@ def rasterize_tiles_pallas(
     tw, th = tiling.num_tiles(img_w, img_h, tile_size)
     table = pack_param_table(proj, colors, opacities)
     k = max_per_tile
-    k_pad = k + ((-k) % CHUNK)
+    k_pad = k + ((-k) % _K_ALIGN)
     gathered = _gather_table(
         table, lists.sorted_ids, lists.starts, lists.entry_slots, k, k_pad
     )  # (T, K_pad, 16)
-    packed = jnp.transpose(gathered, (0, 2, 1))            # (T, 16, K), fused
+    if _LAYOUT == "gmajor":
+        # gmajor kernels consume the gather's natural (T, K, NPARAM) layout;
+        # no transpose anywhere (fwd input or bwd cotangent)
+        packed = gathered
+    else:
+        packed = jnp.transpose(gathered, (0, 2, 1))        # (T, 16, K), fused
     eps_arr = jnp.zeros((1,), jnp.float32) if eps is None else jnp.asarray(eps, jnp.float32)
     out = _composite_packed(
         packed, lists.counts, jnp.asarray(rs_time, jnp.float32),

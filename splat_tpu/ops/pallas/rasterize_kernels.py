@@ -145,11 +145,36 @@ def _cum_exc_log_roll(alpha):
     return e
 
 
-_CUM_EXC = (
-    _cum_exc_log_roll
-    if _os.environ.get("SPLAT_TPU_CUMSUM", "mxu").lower() == "roll"
-    else _cum_exc_log
-)
+def _cum_exc_prod_roll(alpha):
+    """Exclusive cumulative PRODUCT of (1-alpha) via Hillis-Steele rolls.
+
+    The log-space formulations above cost log1p + exp transcendentals per
+    element (XLA lowers each to a ~10-op polynomial on the VPU) around the
+    scan; the kernels are VPU-issue-bound (scripts_dev/roofline.py), so
+    computing the transmittance product directly — log2(chunk) shift+mul
+    passes, no transcendentals — trades ~2 polynomial expansions for 7
+    cheap roll/select/mul triples. Also bit-closer to the oracle's
+    sequential product semantics than a round-trip through logs."""
+    chunk = alpha.shape[1]
+    om = 1.0 - alpha
+    lane = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+    e = jnp.where(lane >= 1, pltpu.roll(om, 1, 1), 1.0)
+    shift = 1
+    while shift < chunk:
+        e = e * jnp.where(lane >= shift, pltpu.roll(e, shift, 1), 1.0)
+        shift *= 2
+    return e
+
+
+_CUM_MODE = _os.environ.get("SPLAT_TPU_CUMSUM", "mxu").lower()
+_CUM_EXC = _cum_exc_log_roll if _CUM_MODE == "roll" else _cum_exc_log
+
+
+def _texc(Ts, alpha):
+    """Exclusive transmittance Ts * prod_{j<i}(1-alpha_j) along lanes."""
+    if _CUM_MODE == "prod":
+        return Ts * _cum_exc_prod_roll(alpha)
+    return Ts * jnp.exp(_CUM_EXC(alpha))
 
 
 import math as _math
@@ -271,7 +296,7 @@ def _fwd_one_tile(counts_ref, scalars_ref, params_ref, out_ref, t, blk, *,
         cols4 = jnp.concatenate([sub[5:8], sub[9:10]], axis=0)  # rgb+depth rows
 
         alpha, _, _ = _stacked_alpha(A, B, C, lo_hi, t_stack, chunk)
-        t_exc = Ts * jnp.exp(_CUM_EXC(alpha))        # (S*npix, CHUNK)
+        t_exc = _texc(Ts, alpha)                     # (S*npix, CHUNK)
         t_inc = t_exc * (1.0 - alpha)                # inclusive: one mul, no 2nd exp
         active = t_exc > T_EPS
         w = jnp.where(active, t_exc * alpha, 0.0)
@@ -403,7 +428,7 @@ def _bwd_one_tile(
         for s in range(n_samples):
             t_row = t_rows[s]
             alpha, lo, mask = _sample_alpha(A, B, C, lo_hi, t_row)
-            t_exc = Ts[s] * jnp.exp(_CUM_EXC(alpha))
+            t_exc = _texc(Ts[s], alpha)
             t_inc = t_exc * (1.0 - alpha)
             active = t_exc > T_EPS
             w = jnp.where(active, t_exc * alpha, 0.0)   # (npix, CHUNK)
