@@ -46,7 +46,10 @@ lists = tiling.build_tile_lists(proj.means2d, proj.extents, proj.depths,
                                 radius_pad=pad)
 table = pack_param_table(proj, colors, opac)
 idx = jnp.where(lists.indices >= 0, lists.indices, N)
-packed = jnp.transpose(jnp.take(table, idx, axis=0), (0, 2, 1))  # (T,16,K)
+import os as _os
+_gmajor = _os.environ.get("SPLAT_TPU_LAYOUT", "row").lower() == "gmajor"
+gathered = jnp.take(table, idx, axis=0)                          # (T,K,16)
+packed = gathered if _gmajor else jnp.transpose(gathered, (0, 2, 1))
 packed = jax.block_until_ready(packed)
 counts = jax.block_until_ready(lists.counts)
 cnt = np.asarray(counts)

@@ -472,9 +472,13 @@ class Trainer:
         if frac > tc.grow_threshold and cap < tc.max_capacity:
             new_cap = min(cap * 2, tc.max_capacity)
             self.params = self.params._replace(gaussians=st.grow_capacity(g, new_cap))
-            # pad (not re-init): keeps Adam moments and LR-schedule counts
+            # pad (not re-init): keeps Adam moments and LR-schedule counts.
+            # Strategy state is padded too — its accumulators are zero here
+            # anyway (refine just consumed them), but a re-init would also
+            # rewind the split-sampling PRNG key to the initial seed at every
+            # growth, correlating split directions across the run.
             self.opt_state = grow_opt_state(self.opt_state, cap, new_cap)
-            self.strat_state = st.init_strategy_state(new_cap, self.trainer_config.seed)
+            self.strat_state = st.grow_strategy_state(self.strat_state, new_cap)
             return True
         return False
 

@@ -42,6 +42,24 @@ def init_strategy_state(capacity: int, seed: int = 0) -> StrategyState:
     )
 
 
+def grow_strategy_state(state: StrategyState, new_capacity: int) -> StrategyState:
+    """Pad the strategy state to a grown capacity (carry, don't re-init).
+
+    The accumulators are typically zero at growth time (growth runs right
+    after a refine, which consumed them), but a re-init would ALSO rewind the
+    split-sampling PRNG key to the initial seed at every growth, correlating
+    split directions across the run."""
+    cap = state.grad_accum.shape[0]
+    if new_capacity <= cap:
+        return state
+    pad = new_capacity - cap
+    return StrategyState(
+        grad_accum=jnp.pad(state.grad_accum, (0, pad)),
+        grad_count=jnp.pad(state.grad_count, (0, pad)),
+        key=state.key,
+    )
+
+
 def accumulate_grads(
     state: StrategyState,
     means2d_grad: jax.Array,   # (C, 2) pixel-space cotangent of the probe
