@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Variant-ordering regression over a benchmark-matrix output tree.
+
+The paper's headline claim (BASELINE.md; /root/reference/README.md:3 +
+train.py:246-311 matrix) is that motion-blur / rolling-shutter compensation
+beats the uncompensated Splatfacto baseline by dBs of PSNR on blurred /
+RS-distorted inputs. This script turns that claim into an executable check
+over `cli/parse_outputs.py`-shaped outputs:
+
+  * every `motion_blur*` variant beats `baseline` by >= --margin dB on each
+    synthetic-mb session;
+  * every `rolling_shutter*` variant beats `baseline` by >= --margin dB on
+    each synthetic-rs session;
+  * velocity-optimized variants stay within --vel-tol dB of their prior-
+    velocity parents (synthetic data has GT velocity priors, so velocity_opt
+    refines a correct prior — it must not measurably hurt).
+
+Exit code 0 = ordering holds; 1 = violation (printed).
+"""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from parse_outputs import find_and_parse_directories_containing_splatting_metrics
+
+
+def check(rows: list[dict], margin: float, vel_tol: float) -> list[str]:
+    by_key = {}
+    for r in rows:
+        if r["psnr"] is not None:
+            by_key[(r["dataset"], r["session"], r["variant"])] = r["psnr"]
+
+    failures = []
+    sessions = sorted({(d, s) for d, s, _ in by_key})
+    for dataset, session in sessions:
+        def p(variant):
+            return by_key.get((dataset, session, variant))
+
+        base = p("baseline")
+        if base is None:
+            continue
+        for (d, s, variant), psnr in sorted(by_key.items()):
+            if (d, s) != (dataset, session):
+                continue
+            comp = None
+            if "mb" in dataset and variant.startswith("motion_blur"):
+                comp = "motion-blur compensation"
+            if "-rs" in dataset and variant.startswith("rolling_shutter"):
+                comp = "rolling-shutter compensation"
+            if comp and psnr < base + margin:
+                failures.append(
+                    f"{dataset}/{session}: {variant} = {psnr:.2f} dB does not "
+                    f"beat baseline = {base:.2f} dB by {margin} dB ({comp})"
+                )
+            if variant.endswith("velocity_opt"):
+                parent = p(variant[: -len("-velocity_opt")])
+                if parent is not None and psnr < parent - vel_tol:
+                    failures.append(
+                        f"{dataset}/{session}: {variant} = {psnr:.2f} dB fell "
+                        f">{vel_tol} dB below its parent {parent:.2f} dB"
+                    )
+    if not sessions:
+        failures.append("no baseline rows found — nothing checked")
+    return failures
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input-dir", default="data/outputs")
+    ap.add_argument("--margin", type=float, default=1.0,
+                    help="min dB a compensated variant must beat baseline by")
+    ap.add_argument("--vel-tol", type=float, default=0.5,
+                    help="max dB velocity_opt may fall below its parent")
+    args = ap.parse_args(argv)
+
+    rows = find_and_parse_directories_containing_splatting_metrics(
+        Path(args.input_dir))
+    failures = check(rows, args.margin, args.vel_tol)
+    n = len([r for r in rows if r["psnr"] is not None])
+    if failures:
+        print(f"ORDERING VIOLATIONS ({len(failures)}; {n} runs checked):")
+        for f in failures:
+            print("  " + f)
+        return 1
+    print(f"variant ordering holds over {n} runs "
+          f"(margin {args.margin} dB, vel tol {args.vel_tol} dB)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -277,3 +277,44 @@ def test_viewer_render_route(fit_run):
         assert png[:4] == b"\x89PNG", png[:16]
     finally:
         server.shutdown()
+
+
+def test_check_benchmark_ordering():
+    """Executable form of the paper's headline ordering claim: compensated
+    variants beat baseline on blurred/RS data; velocity_opt never measurably
+    hurts (cli/check_benchmark_ordering.py)."""
+    sys.path.insert(0, str(REPO / "cli"))
+    from check_benchmark_ordering import check
+
+    def rows(entries):
+        return [
+            {"dataset": d, "session": s, "variant": v, "psnr": p}
+            for d, s, v, p in entries
+        ]
+
+    good = rows([
+        ("synthetic-mb", "scene0", "baseline", 24.0),
+        ("synthetic-mb", "scene0", "motion_blur", 27.5),
+        ("synthetic-mb", "scene0", "motion_blur-velocity_opt", 27.4),
+        ("synthetic-rs", "scene0", "baseline", 25.0),
+        ("synthetic-rs", "scene0", "rolling_shutter", 27.0),
+    ])
+    assert check(good, margin=1.0, vel_tol=0.5) == []
+
+    # compensation fails to beat baseline -> violation
+    bad = rows([
+        ("synthetic-mb", "scene0", "baseline", 24.0),
+        ("synthetic-mb", "scene0", "motion_blur", 24.3),
+    ])
+    assert len(check(bad, margin=1.0, vel_tol=0.5)) == 1
+
+    # velocity_opt regressing below its parent -> violation
+    bad_vel = rows([
+        ("synthetic-mb", "scene0", "baseline", 24.0),
+        ("synthetic-mb", "scene0", "motion_blur", 27.5),
+        ("synthetic-mb", "scene0", "motion_blur-velocity_opt", 26.0),
+    ])
+    assert len(check(bad_vel, margin=1.0, vel_tol=0.5)) == 1
+
+    # empty tree is a failure, not a silent pass
+    assert check([], margin=1.0, vel_tol=0.5)
