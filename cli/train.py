@@ -208,11 +208,24 @@ def main(argv=None):
     ap.add_argument("--dry_run", action="store_true")
     ap.add_argument("--vis", default="none")
     ap.add_argument("--extra-variants", default="")
+    ap.add_argument("--variants", default="",
+                    help="comma list of variant NAMES to run (subset filter)")
     ap.add_argument("extra_flags", nargs="*", default=[])
     args = ap.parse_args(argv)
 
     extra = [e for e in args.extra_variants.split(",") if e]
     variants = variants_for_dataset(args.dataset, extra)
+    if args.variants:
+        want = set(args.variants.split(","))
+        named = {
+            flags_to_variant_name_and_cmd(v, args.dataset, args.train_all)[0]: v
+            for v in variants
+        }
+        unknown = want - set(named)
+        if unknown:
+            raise SystemExit(f"unknown variants {sorted(unknown)}; "
+                             f"have {sorted(named)}")
+        variants = [named[n] for n in sorted(want)]
     sessions = find_sessions(Path(args.input_dir), args.dataset)
     if not sessions:
         print(f"no sessions found under {args.input_dir}/{args.dataset}")

@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Draft benchmark matrix on the current backend (the real TPU by default):
+# generate the synthetic suite, run the reference's synthetic-mb 8-variant
+# matrix (Appendix A) + an RS-compensation subset, aggregate the table, and
+# assert the paper's variant ordering. Mirrors the reference workflow
+# `process_synthetic_inputs.py && train.py --dataset=synthetic-mb --draft &&
+# parse_outputs.py` (reference train.py:246-311, parse_outputs.py:58).
+#
+# Env knobs: RES (default 512), SCENES (2), OUT (data/bench)
+set -e
+cd "$(dirname "$0")/.."
+RES=${RES:-512}
+SCENES=${SCENES:-2}
+OUT=${OUT:-data/bench}
+EXTRA=(--trainer.scan-steps 25 --trainer.sync-every 50)
+
+mkdir -p benchmarks "$OUT"
+python cli/generate_synthetic_suite.py \
+    --input-dir "$OUT/inputs" --resolution "$RES" --scenes "$SCENES" \
+    --variants mb,rs
+
+# full 8-variant matrix on motion-blur data
+python cli/train.py --dataset synthetic-mb \
+    --input-dir "$OUT/inputs" --output-dir "$OUT/outputs" \
+    --draft --no-render -- "${EXTRA[@]}"
+
+# rolling-shutter compensation subset on RS data
+python cli/train.py --dataset synthetic-rs \
+    --input-dir "$OUT/inputs" --output-dir "$OUT/outputs" \
+    --variants baseline,rolling_shutter,rolling_shutter-velocity_opt \
+    --draft --no-render -- "${EXTRA[@]}"
+
+python cli/parse_outputs.py --input-dir "$OUT/outputs" --csv benchmarks/synthetic_matrix.csv
+python cli/parse_outputs.py --input-dir "$OUT/outputs" --by-variant | tee benchmarks/synthetic_matrix.txt
+python cli/check_benchmark_ordering.py --input-dir "$OUT/outputs"
