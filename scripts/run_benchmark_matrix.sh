@@ -12,7 +12,12 @@ cd "$(dirname "$0")/.."
 RES=${RES:-512}
 SCENES=${SCENES:-2}
 OUT=${OUT:-data/bench}
-EXTRA=(--trainer.scan-steps 25 --trainer.sync-every 50)
+# initial-capacity pinned: growth-by-doubling from the 512-seed auto capacity
+# would recompile the step/scan graphs ~7x per variant on this box's
+# minutes-per-compile remote tunnel; one right-sized allocation avoids that
+# (the padding is masked work, cheap next to the compiles it saves)
+EXTRA=(--trainer.scan-steps 25 --trainer.sync-every 50
+       --pipeline.model.initial-capacity 32768)
 
 mkdir -p benchmarks "$OUT"
 python cli/generate_synthetic_suite.py \
