@@ -58,8 +58,11 @@ def main(argv=None):
         exposure, rs = VARIANTS[variant.strip()]
         for si in range(args.scenes):
             out = Path(args.input_dir) / f"synthetic-{variant}" / f"scene{si}"
+            if (out / "transforms.json").exists():
+                print(f"skip {out} (exists)", flush=True)
+                continue
             print(f"generate {out}  ({args.resolution}px, exp={exposure}, "
-                  f"rs={rs}, seed={si})", flush=True)
+                  f"rs={rs}, seed={1000 + si})", flush=True)
             if args.dry_run:
                 continue
             t0 = time.time()
