@@ -34,8 +34,10 @@ from .rasterize_kernels import (
 )
 
 # Kernel layout: "row" = gaussian chunk on lanes (CHUNK=128 granularity);
-# "gmajor" = pixels on lanes, gaussians on sublanes (GCHUNK=32 granularity —
-# see rasterize_kernels_gmajor.py docstring for the lane-utilization math).
+# "gmajor" = pixels x samples on lanes, gaussians on sublanes (GCHUNK
+# granularity — see rasterize_kernels_gmajor.py for the lane-utilization
+# math); "mixed" = gmajor forward (best measured fwd) + row-major backward
+# (best measured bwd) over the SAME row-major packed table.
 _LAYOUT = _os.environ.get("SPLAT_TPU_LAYOUT", "row").lower()
 if _LAYOUT == "gmajor":
     from .rasterize_kernels_gmajor import (
@@ -43,6 +45,12 @@ if _LAYOUT == "gmajor":
         rasterize_bwd_gpacked as rasterize_bwd_packed,
         rasterize_fwd_gpacked as rasterize_fwd_packed,
     )
+elif _LAYOUT == "mixed":
+    from .rasterize_kernels import rasterize_bwd_packed
+    from .rasterize_kernels_gmajor import (
+        rasterize_fwd_gpacked_rowin as rasterize_fwd_packed,
+    )
+    _K_ALIGN = CHUNK
 else:
     from .rasterize_kernels import (
         rasterize_bwd_packed,

@@ -64,7 +64,8 @@ from .rasterize_kernels import (
     _interpret,
 )
 
-GCHUNK = int(_os.environ.get("SPLAT_TPU_GCHUNK", "32"))
+GCHUNK = int(_os.environ.get("SPLAT_TPU_GCHUNK", "64"))
+NPAD = 16   # per-tile column stride in the transposed scratch (lane-aligned)
 _EARLY_EXIT = _os.environ.get("SPLAT_TPU_EARLY_EXIT", "1") != "0"
 _LOG_THRESH = float(_math.log(ALPHA_THRESH))
 _LOG_MAX_ALPHA = float(_math.log(MAX_ALPHA))
@@ -98,11 +99,16 @@ def _pixel_rows(tile_size, ty, img_h, rs_time, row_offset, dtype=jnp.float32):
     return px, py, t_row
 
 
-def _chunk_cols(params_ref, blk, base, tx, ty, count, chunk):
-    """Per-gaussian parameter COLUMNS (chunk, 1) for one chunk, straight from
-    the (tps, K, NPARAM) block; means tile-local; invalid sublanes get
+def _chunk_cols(params_ref, blk, base, tx, ty, count, chunk,
+                from_scratch=False):
+    """Per-gaussian parameter COLUMNS (chunk, 1) for one chunk — from the
+    (tps, K, NPARAM) block, or from the (K, tps*NPAD) transposed scratch when
+    the input arrived row-major; means tile-local; invalid sublanes get
     log-opacity -1e30 (kills every alpha via the threshold mask)."""
-    cols = params_ref[blk, pl.ds(base, chunk), :]
+    if from_scratch:
+        cols = params_ref[pl.ds(base, chunk), blk * NPAD:blk * NPAD + NPARAM]
+    else:
+        cols = params_ref[blk, pl.ds(base, chunk), :]
     mx, my = cols[:, 0:1] - tx, cols[:, 1:2] - ty
     ca, cb, cc = cols[:, 2:3], cols[:, 3:4], cols[:, 4:5]
     pvx, pvy = cols[:, 10:11], cols[:, 11:12]
@@ -137,6 +143,16 @@ def _stacked_alpha_g(A, B, C, lo_hi, t_stack):
     return alpha, lo, mask
 
 
+def _transpose_block(params_ref, subT_ref, tiles_per_step):
+    """Per-tile (NPARAM, K) -> (K, NPARAM) transposes once per grid step —
+    amortized over every chunk of every tile of the step (the 'mixed' path:
+    row-major packed input shared with the row-major backward)."""
+    for blk in range(tiles_per_step):
+        subT_ref[:, blk * NPAD:blk * NPAD + NPARAM] = jnp.transpose(
+            params_ref[blk], (1, 0)
+        )
+
+
 def _fwd_kernel_g(counts_ref, scalars_ref, params_ref, out_ref, *,
                   tile_size, tiles_x, img_h, n_samples, tiles_per_step,
                   chunk=GCHUNK):
@@ -147,8 +163,20 @@ def _fwd_kernel_g(counts_ref, scalars_ref, params_ref, out_ref, *,
                         n_samples=n_samples, chunk=chunk)
 
 
+def _fwd_kernel_g_rowin(counts_ref, scalars_ref, params_ref, out_ref,
+                        subT_ref, *, tile_size, tiles_x, img_h, n_samples,
+                        tiles_per_step, chunk=GCHUNK):
+    _transpose_block(params_ref, subT_ref, tiles_per_step)
+    for blk in range(tiles_per_step):
+        _fwd_one_tile_g(counts_ref, scalars_ref, out_ref, subT_ref,
+                        pl.program_id(0) * tiles_per_step + blk, blk,
+                        tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
+                        n_samples=n_samples, chunk=chunk, from_scratch=True)
+
+
 def _fwd_one_tile_g(counts_ref, scalars_ref, out_ref, params_ref, t, blk, *,
-                    tile_size, tiles_x, img_h, n_samples, chunk):
+                    tile_size, tiles_x, img_h, n_samples, chunk,
+                    from_scratch=False):
     count = counts_ref[t]
     rs_time, row_offset = scalars_ref[0], scalars_ref[1]
     tw_px, th_px = _tile_wh(tile_size)
@@ -156,7 +184,7 @@ def _fwd_one_tile_g(counts_ref, scalars_ref, out_ref, params_ref, t, blk, *,
     sp = n_samples * npix
     tx = (t % tiles_x) * tw_px
     ty = (t // tiles_x) * th_px
-    k_max = params_ref.shape[1]
+    k_max = params_ref.shape[0] if from_scratch else params_ref.shape[1]
     n_chunks = jnp.minimum((count + chunk - 1) // chunk, k_max // chunk)
 
     px, py, t_pix = _pixel_rows(tile_size, ty, img_h, rs_time, row_offset)
@@ -175,7 +203,8 @@ def _fwd_one_tile_g(counts_ref, scalars_ref, out_ref, params_ref, t, blk, *,
         i, acc, Ts = carry                 # acc (4, S*npix); Ts (1, S*npix)
         base = i * chunk
         cols, mx, my, ca, cb, cc, pvx, pvy, lo_hi = _chunk_cols(
-            params_ref, blk, base, tx, ty, count, chunk)
+            params_ref, blk, base, tx, ty, count, chunk,
+            from_scratch=from_scratch)
         A, B, C = _stacked_basis(mx, my, ca, cb, cc, pvx, pvy, px, py, n_samples)
         cols4 = jnp.concatenate([cols[:, 5:8], cols[:, 9:10]], axis=1)  # (chunk,4)
 
@@ -458,3 +487,59 @@ def rasterize_bwd_gpacked(
             transcendentals=int(n_tiles * n_samples * k * npix),
         ),
     )(counts, _scalar_vec(rs_time, row_offset, eps), params_packed, fwd_out, g_out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_size", "tiles_x", "img_h", "chunk_width")
+)
+def rasterize_fwd_gpacked_rowin(
+    params_packed: jax.Array,   # (T, NPARAM, K) — row-major packed input
+    counts: jax.Array,
+    rs_time: jax.Array,
+    tile_size: int,
+    tiles_x: int,
+    img_h: int,
+    row_offset: jax.Array | float = 0.0,
+    eps: jax.Array | None = None,
+    chunk_width: int = GCHUNK,
+) -> jax.Array:                 # (T, S, NOUT, npix)
+    """The 'mixed' forward: G-major compute over the ROW-MAJOR packed table
+    (one in-kernel (NPARAM, K) -> (K, NPARAM) transpose per tile per grid
+    step), so it pairs with the row-major backward on the SAME input — the
+    best measured fwd (gmajor) and bwd (row) compose without duplicating the
+    gather."""
+    n_tiles, _, k = params_packed.shape
+    assert k % chunk_width == 0, (k, chunk_width)
+    n_samples = 1 if eps is None else eps.shape[0]
+    tw_px, th_px = _tile_wh(tile_size)
+    npix = tw_px * th_px
+    tps = _tiles_per_step(n_tiles)
+    kernel = functools.partial(
+        _fwd_kernel_g_rowin, tile_size=tile_size, tiles_x=tiles_x, img_h=img_h,
+        n_samples=n_samples, tiles_per_step=tps, chunk=chunk_width,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles // tps,),
+        in_specs=[
+            pl.BlockSpec((tps, NPARAM, k), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tps, n_samples, NOUT, npix), lambda t, *_: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((k, tps * NPAD), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_samples, NOUT, npix), jnp.float32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n_tiles * n_samples * k * npix * 30),
+            bytes_accessed=int(params_packed.size * 4
+                               + n_tiles * n_samples * NOUT * npix * 4),
+            transcendentals=int(n_tiles * n_samples * k * npix),
+        ),
+    )(counts, _scalar_vec(rs_time, row_offset, eps), params_packed)
