@@ -562,7 +562,12 @@ class Trainer:
                     gts_b = jnp.asarray(level_imgs[arr])  # (B, d, H, W, 3)
                 steps_b = jnp.arange(self.step, self.step + block)
                 keys_b = jnp.stack(keys)
-                self._probe_cam = cams_b[-1]   # last step's camera(s)
+                # last step's camera(s) for the tile-capacity probe — index
+                # level_cams fresh (cams_b[-1] would nest the leading dim)
+                if self.mesh is None:
+                    self._probe_cam = level_cams[idxs[-1]]
+                else:
+                    self._probe_cam = level_cams[np.asarray(rows[-1])]
                 self.timer.start()
                 (self.params, self.opt_state, self.strat_state, losses, _nv) = (
                     self.train_scan(

@@ -135,3 +135,17 @@ def test_probe_matches_build_tile_lists(dense_scene):
         np.minimum(counts_full, 32), np.asarray(lists.counts)
     )
     assert int(np.maximum(counts_full - 32, 0).sum()) == int(lists.overflow)
+
+
+def test_adaptive_probe_on_scan_driver(dense_scene):
+    """The probe camera must be well-formed on the lax.scan multi-step driver
+    too (regression: cams_b[-1] nested the leading dim and broke the probe's
+    projection with a (3,3,3) rotation)."""
+    mc = _cfg()
+    tc = tr.TrainerConfig(
+        max_steps=24, adapt_tile_capacity=True, tile_overflow_tol=0.002,
+        max_tile_capacity=512, seed=0, log_every=100, scan_steps=4,
+    )
+    t = tr.Trainer(dense_scene, mc, tc)
+    t.run(24)
+    assert t.model_config.max_per_tile > 32
