@@ -12,12 +12,15 @@ cd "$(dirname "$0")/.."
 RES=${RES:-512}
 SCENES=${SCENES:-2}
 OUT=${OUT:-data/bench}
-# initial-capacity pinned: growth-by-doubling from the 512-seed auto capacity
-# would recompile the step/scan graphs ~7x per variant on this box's
-# minutes-per-compile remote tunnel; one right-sized allocation avoids that
-# (the padding is masked work, cheap next to the compiles it saves)
+# capacity pinned to one doubling: growth-by-doubling from the 512-seed auto
+# capacity would recompile the step/scan graphs ~6x per variant on this box's
+# minutes-per-compile remote tunnel. max-tiles-per-gaussian 16 keeps the
+# intersect-sort at capacity*16 entries (the 64 default made padded-capacity
+# sorts the step's dominant cost: 171 ms/step measured at 32k x 64).
 EXTRA=(--trainer.scan-steps 25 --trainer.sync-every 50
-       --pipeline.model.initial-capacity 32768)
+       --pipeline.model.initial-capacity 8192
+       --trainer.max-capacity 16384
+       --pipeline.model.max-tiles-per-gaussian 16)
 
 mkdir -p benchmarks "$OUT"
 python cli/generate_synthetic_suite.py \
