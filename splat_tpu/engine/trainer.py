@@ -441,10 +441,24 @@ class Trainer:
             return 0
         return max(0, cfg.num_downscales - self.step // cfg.resolution_schedule)
 
+    # keep the training image stack DEVICE-resident up to this many bytes:
+    # per-block host->device GT upload over this box's TPU tunnel measured
+    # ~tens of ms/step at 512px; an on-device stack turns the per-step GT
+    # fetch into a device-side gather (indices are the only upload)
+    _DEVICE_IMAGE_BYTES = 4 << 30
+
     def _level_data(self, level: int):
-        """(cameras, images) for resolution level (downscale 2^level), cached."""
+        """(cameras, images) for resolution level (downscale 2^level), cached.
+        Images come back as a device-resident jnp array when the stack fits
+        the budget (numpy fallback above it)."""
         if level == 0:
-            return self.train_cams, self.train_images.images
+            if not hasattr(self, "_train_imgs_dev"):
+                imgs = self.train_images.images
+                self._train_imgs_dev = (
+                    jnp.asarray(imgs) if imgs.nbytes <= self._DEVICE_IMAGE_BYTES
+                    else imgs
+                )
+            return self.train_cams, self._train_imgs_dev
         if not hasattr(self, "_pyramid"):
             self._pyramid = {}
         if level not in self._pyramid:
@@ -461,6 +475,8 @@ class Trainer:
             for k in ("fx", "fy", "cx", "cy"):
                 dd[k] = dd[k] / d
             small_cams = Cameras(width=aux[0] // d, height=aux[1] // d, **dd)
+            if small.nbytes <= self._DEVICE_IMAGE_BYTES:
+                small = jnp.asarray(small)
             self._pyramid[level] = (small_cams, small)
         return self._pyramid[level]
 
