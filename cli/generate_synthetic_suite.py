@@ -77,6 +77,7 @@ def main(argv=None):
                 gamma=2.2,
                 seed=1000 + si,
                 eval_interval=8,
+                n_seed_points=args.n_gaussians,
             )
             print(f"  done in {time.time() - t0:.0f}s", flush=True)
 

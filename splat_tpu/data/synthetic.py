@@ -140,6 +140,7 @@ def generate_scene(
     seed: int = 0,
     eval_interval: int = 8,
     background=(0.0, 0.0, 0.0),
+    n_seed_points: int = 128,
 ) -> dict:
     """Write a full reference-contract dataset; returns the scene dict."""
     from PIL import Image
@@ -182,8 +183,11 @@ def generate_scene(
             }
         )
 
-    # Seed cloud: noisy subsample of the true means (stands in for SfM points).
-    sel = rng.choice(n_gaussians, size=min(n_gaussians, 128), replace=False)
+    # Seed cloud: noisy subsample of the true means (stands in for SfM
+    # points). n_seed_points controls density — benchmark scenes want a rich
+    # cloud (a 128-point cloud for a 1500-gaussian 512px scene leaves the
+    # model too underfit at draft steps to resolve method differences).
+    sel = rng.choice(n_gaussians, size=min(n_gaussians, n_seed_points), replace=False)
     pts = np.asarray(gauss["means"])[sel] + rng.normal(size=(len(sel), 3)) * 0.02
     rgb = (np.asarray(gauss["colors"])[sel] * 255).astype(np.uint8)
     ply_io.write_ply(out_dir / "sparse_pc.ply", pts, rgb)
