@@ -13,7 +13,13 @@ over `cli/parse_outputs.py`-shaped outputs:
     each synthetic-rs session;
   * velocity-optimized variants stay within --vel-tol dB of their prior-
     velocity parents (synthetic data has GT velocity priors, so velocity_opt
-    refines a correct prior — it must not measurably hurt).
+    refines a correct prior — it must not measurably hurt);
+  * on `*velnoise` datasets (deliberately corrupted velocity priors,
+    cli/generate_synthetic_suite.py:derive_velnoise) the roles invert:
+    velocity_opt variants must BEAT their fixed-prior parents by
+    >= --vel-win-margin dB — the optimizer has to recover what the prior got
+    wrong — and the beats-baseline-by-margin rule is waived for fixed-prior
+    variants (their prior is wrong by construction).
 
 Exit code 0 = ordering holds; 1 = violation (printed).
 """
@@ -26,7 +32,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from parse_outputs import find_and_parse_directories_containing_splatting_metrics
 
 
-def check(rows: list[dict], margin: float, vel_tol: float) -> list[str]:
+def check(rows: list[dict], margin: float, vel_tol: float,
+          vel_win_margin: float = 0.3) -> list[str]:
     by_key = {}
     for r in rows:
         if r["psnr"] is not None:
@@ -35,11 +42,17 @@ def check(rows: list[dict], margin: float, vel_tol: float) -> list[str]:
     failures = []
     sessions = sorted({(d, s) for d, s, _ in by_key})
     for dataset, session in sessions:
+        noisy_prior = "velnoise" in dataset or "posenoise" in dataset
+
         def p(variant):
             return by_key.get((dataset, session, variant))
 
         base = p("baseline")
-        if base is None:
+        if base is None and not noisy_prior:
+            failures.append(
+                f"{dataset}/{session}: has variant rows but NO baseline row — "
+                "nothing to compare against (baseline run missing/failed?)"
+            )
             continue
         for (d, s, variant), psnr in sorted(by_key.items()):
             if (d, s) != (dataset, session):
@@ -49,14 +62,31 @@ def check(rows: list[dict], margin: float, vel_tol: float) -> list[str]:
                 comp = "motion-blur compensation"
             if "-rs" in dataset and variant.startswith("rolling_shutter"):
                 comp = "rolling-shutter compensation"
-            if comp and psnr < base + margin:
+            # on noisy-prior datasets only velocity-optimized variants have a
+            # correct motion model available, so only they owe the margin
+            if noisy_prior and "velocity_opt" not in variant:
+                comp = None
+            if comp and base is not None and psnr < base + margin:
                 failures.append(
                     f"{dataset}/{session}: {variant} = {psnr:.2f} dB does not "
                     f"beat baseline = {base:.2f} dB by {margin} dB ({comp})"
                 )
-            if variant.endswith("velocity_opt"):
-                parent = p(variant[: -len("-velocity_opt")])
-                if parent is not None and psnr < parent - vel_tol:
+            if "velocity_opt" in variant:
+                parent_name = variant.replace("-velocity_opt-zero_init", "") \
+                                     .replace("-velocity_opt", "")
+                parent = p(parent_name or "baseline")
+                if parent is None:
+                    continue
+                if noisy_prior:
+                    if psnr < parent + vel_win_margin:
+                        failures.append(
+                            f"{dataset}/{session}: {variant} = {psnr:.2f} dB "
+                            f"does not beat its corrupted-prior parent "
+                            f"{parent_name} = {parent:.2f} dB by "
+                            f"{vel_win_margin} dB (velocity opt must recover "
+                            "the wrong prior)"
+                        )
+                elif variant.endswith("velocity_opt") and psnr < parent - vel_tol:
                     failures.append(
                         f"{dataset}/{session}: {variant} = {psnr:.2f} dB fell "
                         f">{vel_tol} dB below its parent {parent:.2f} dB"
@@ -73,11 +103,14 @@ def main(argv=None):
                     help="min dB a compensated variant must beat baseline by")
     ap.add_argument("--vel-tol", type=float, default=0.5,
                     help="max dB velocity_opt may fall below its parent")
+    ap.add_argument("--vel-win-margin", type=float, default=0.3,
+                    help="min dB velocity_opt must beat its parent by on "
+                         "corrupted-prior (*velnoise/*posenoise) datasets")
     args = ap.parse_args(argv)
 
     rows = find_and_parse_directories_containing_splatting_metrics(
         Path(args.input_dir))
-    failures = check(rows, args.margin, args.vel_tol)
+    failures = check(rows, args.margin, args.vel_tol, args.vel_win_margin)
     n = len([r for r in rows if r["psnr"] is not None])
     if failures:
         print(f"ORDERING VIOLATIONS ({len(failures)}; {n} runs checked):")

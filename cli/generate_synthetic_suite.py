@@ -31,9 +31,60 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 VARIANTS = {
     "clear": (0.0, 0.0),
     "mb": (0.12, 0.0),
-    "rs": (0.0, 0.03),
-    "mbrs": (0.12, 0.03),
+    "rs": (0.0, 0.04),
+    "mbrs": (0.12, 0.04),
 }
+
+# Per-scene trajectory: handheld-style rotational shake of increasing
+# amplitude (splat_tpu/data/synthetic.py:shake_pose_gl). The round-2 bare
+# orbit's blur self-cancels at the look-at center (+0.66 dB MB-vs-baseline,
+# below the 1 dB ordering margin — benchmarks/README.md); whole-image
+# rotational blur is what the Deblur-NeRF-style benchmark actually exercises.
+# scene2 is the heavy-motion scene (peak shake rate ~0.63 rad/s ~ 43 px of
+# blur at 512px over the 0.12 s exposure).
+SCENE_TRAJECTORIES = [
+    ("shake", 0.05, 1.4),
+    ("shake", 0.08, 1.2),
+    ("shake", 0.11, 1.1),
+    ("orbit", 0.0, 1.0),  # scene3+: the round-2 self-canceling orbit (hypothesis probe)
+]
+
+
+def derive_velnoise(src: Path, dst: Path, seed: int, rel_noise: float = 0.6) -> None:
+    """Write DST as SRC with per-frame velocity priors corrupted by
+    deterministic Gaussian noise (rel_noise x the per-axis RMS), images
+    shared via copy. Models a wrong VIO prior: on this dataset velocity
+    optimization must recover what the prior got wrong (reference noise
+    variants: process_synthetic_inputs.py:414-465 posenoise family)."""
+    import json
+    import shutil
+
+    import numpy as np
+
+    dst.mkdir(parents=True, exist_ok=True)
+    meta = json.loads((src / "transforms.json").read_text())
+    rng = np.random.default_rng(seed + 777)
+    lin = np.array([f["camera_linear_velocity"] for f in meta["frames"]])
+    ang = np.array([f["camera_angular_velocity"] for f in meta["frames"]])
+    train = np.array([np.any(np.abs(l) > 0) or np.any(np.abs(a) > 0)
+                      for l, a in zip(lin, ang)])
+    lin_rms = np.sqrt((lin[train] ** 2).mean()) if train.any() else 0.0
+    ang_rms = np.sqrt((ang[train] ** 2).mean()) if train.any() else 0.0
+    for f, is_train in zip(meta["frames"], train):
+        if not is_train:
+            continue  # eval frames keep the zero-velocity invariant
+        f["camera_linear_velocity"] = (
+            np.array(f["camera_linear_velocity"])
+            + rng.normal(size=3) * rel_noise * lin_rms
+        ).tolist()
+        f["camera_angular_velocity"] = (
+            np.array(f["camera_angular_velocity"])
+            + rng.normal(size=3) * rel_noise * ang_rms
+        ).tolist()
+    (dst / "transforms.json").write_text(json.dumps(meta, indent=2))
+    if not (dst / "images").exists():
+        shutil.copytree(src / "images", dst / "images")
+    shutil.copy2(src / "sparse_pc.ply", dst / "sparse_pc.ply")
 
 
 def main(argv=None):
@@ -43,9 +94,16 @@ def main(argv=None):
     ap.add_argument("--scenes", type=int, default=2, help="scenes per variant")
     ap.add_argument("--n-gaussians", type=int, default=1500)
     ap.add_argument("--n-frames", type=int, default=33)
-    ap.add_argument("--blur-gt-samples", type=int, default=9)
+    ap.add_argument("--blur-gt-samples", type=int, default=17,
+                    help="GT exposure-integration samples; heavy-motion scenes "
+                         "(~40 px blur) need >=15 for band-free ground truth")
     ap.add_argument("--variants", default="mb,rs",
                     help="comma list from clear,mb,rs,mbrs")
+    ap.add_argument("--derive-velnoise", action="store_true",
+                    help="also write synthetic-mb-velnoise (corrupted velocity "
+                         "priors, shared images) from each synthetic-mb scene")
+    ap.add_argument("--trajectory", default="",
+                    help="override per-scene trajectory (orbit|shake)")
     ap.add_argument("--dry_run", action="store_true")
     args = ap.parse_args(argv)
 
@@ -57,29 +115,40 @@ def main(argv=None):
     for variant in args.variants.split(","):
         exposure, rs = VARIANTS[variant.strip()]
         for si in range(args.scenes):
+            traj, amp, period = SCENE_TRAJECTORIES[min(si, len(SCENE_TRAJECTORIES) - 1)]
+            if args.trajectory:
+                traj = args.trajectory
             out = Path(args.input_dir) / f"synthetic-{variant}" / f"scene{si}"
             if (out / "transforms.json").exists():
                 print(f"skip {out} (exists)", flush=True)
-                continue
-            print(f"generate {out}  ({args.resolution}px, exp={exposure}, "
-                  f"rs={rs}, seed={1000 + si})", flush=True)
-            if args.dry_run:
-                continue
-            t0 = time.time()
-            synthetic.generate_scene(
-                out,
-                n_gaussians=args.n_gaussians,
-                n_frames=args.n_frames,
-                img_size=args.resolution,
-                exposure=exposure,
-                rolling_shutter=rs,
-                n_blur_samples=args.blur_gt_samples,
-                gamma=2.2,
-                seed=1000 + si,
-                eval_interval=8,
-                n_seed_points=args.n_gaussians,
-            )
-            print(f"  done in {time.time() - t0:.0f}s", flush=True)
+            else:
+                print(f"generate {out}  ({args.resolution}px, exp={exposure}, "
+                      f"rs={rs}, traj={traj}/{amp}, seed={1000 + si})", flush=True)
+                if args.dry_run:
+                    continue
+                t0 = time.time()
+                synthetic.generate_scene(
+                    out,
+                    n_gaussians=args.n_gaussians,
+                    n_frames=args.n_frames,
+                    img_size=args.resolution,
+                    exposure=exposure,
+                    rolling_shutter=rs,
+                    n_blur_samples=args.blur_gt_samples,
+                    gamma=2.2,
+                    seed=1000 + si,
+                    eval_interval=8,
+                    n_seed_points=args.n_gaussians,
+                    trajectory=traj,
+                    shake_amp=amp,
+                    shake_period=period,
+                )
+                print(f"  done in {time.time() - t0:.0f}s", flush=True)
+            if args.derive_velnoise and variant.strip() == "mb" and not args.dry_run:
+                dst = Path(args.input_dir) / "synthetic-mb-velnoise" / f"scene{si}"
+                if not (dst / "transforms.json").exists():
+                    derive_velnoise(out, dst, seed=1000 + si)
+                    print(f"derived {dst}", flush=True)
 
 
 if __name__ == "__main__":

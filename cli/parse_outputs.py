@@ -34,7 +34,12 @@ def find_and_parse_directories_containing_splatting_metrics(root: Path) -> list[
                 "psnr": res.get("psnr"),
                 "ssim": res.get("ssim"),
                 "lpips": res.get("lpips"),
-                "time": m.get("wall_clock_time_seconds"),
+                # `time` is TRAINING time when the run separated compile from
+                # train (fit.py writes both); total wall kept in its own column
+                "time": m.get("train_time_seconds",
+                              m.get("wall_clock_time_seconds")),
+                "compile_time": m.get("compile_time_seconds"),
+                "wall_time": m.get("wall_clock_time_seconds"),
             }
         )
     return rows
@@ -53,9 +58,12 @@ def main(argv=None):
         return
     import pandas as pd
 
-    df = pd.DataFrame(rows, columns=["dataset", "variant", "session", "psnr", "ssim", "lpips", "time"])
+    df = pd.DataFrame(rows, columns=["dataset", "variant", "session", "psnr",
+                                     "ssim", "lpips", "time", "compile_time",
+                                     "wall_time"])
     if args.by_variant:
-        agg = df.groupby(["dataset", "variant"])[["psnr", "ssim", "lpips", "time"]].mean()
+        agg = df.groupby(["dataset", "variant"])[
+            ["psnr", "ssim", "lpips", "time", "compile_time"]].mean()
         print(agg.to_string())
     else:
         print(df.to_string(index=False))

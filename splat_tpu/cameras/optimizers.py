@@ -92,11 +92,11 @@ def apply_camera_opt(
     if cfg.mode == "SO3xR3":
         R, p = se3.pose_delta_so3xr3(cameras.R_c2w, cameras.p_c2w, phi, dp)
     elif cfg.mode == "SE3":
-        # Full SE(3) exponential: rotation exp([phi]x), translation V(phi) dp.
+        # Full SE(3) exponential: rotation exp([phi]x), translation V(phi) dp
+        # with the EXACT left Jacobian V (Taylor-safe at phi=0) — matches the
+        # reference's exact SE3 mode (nerfstudio camera_optimizers exp_map_SE3).
         Rd = se3.so3_exp(phi)
-        # Use first-order-coupled translation (V ~ I + 0.5[phi]x for small phi);
-        # adequate for the sub-degree corrections this optimizer learns.
-        V = jnp.eye(3, dtype=phi.dtype) + 0.5 * se3.skew(phi)
+        V = se3.so3_left_jacobian(phi)
         R = jnp.matmul(Rd, cameras.R_c2w, precision=jax.lax.Precision.HIGHEST)
         p = cameras.p_c2w + jnp.einsum("...ij,...j->...i", V, dp)
     else:

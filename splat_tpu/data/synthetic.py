@@ -68,6 +68,50 @@ def orbit_pose_gl(t: float, radius=3.0, height=1.2, wobble=0.35, period=8.0) -> 
     return look_at_gl(pos, np.array([0.0, 0.0, 0.0]))
 
 
+def _rotvec_to_matrix(phi: np.ndarray) -> np.ndarray:
+    """Rodrigues exp([phi]x) (float64, host-side)."""
+    th = float(np.linalg.norm(phi))
+    if th < 1e-12:
+        return np.eye(3)
+    k = phi / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def shake_pose_gl(t: float, amp: float = 0.06, period: float = 1.3,
+                  phases=(0.0, 1.7, 3.1)) -> np.ndarray:
+    """Handheld-style trajectory: the look-at orbit composed with a smooth
+    camera-frame rotational shake exp([theta(t)]x).
+
+    Pure camera rotation translates the WHOLE image at ~fx*|omega| px/s, so —
+    unlike the bare orbit, whose blur self-cancels at the look-at center
+    (benchmarks/README.md round-2 finding) — the exposure blur is uniform and
+    heavy. Peak shake angular rate is amp*2*pi/period rad/s on each axis;
+    period >> exposure keeps the constant-velocity model (SURVEY.md Appendix
+    B.2) a fair approximation of the true integrated motion.
+    """
+    base = orbit_pose_gl(t)
+    w = 2 * np.pi / period
+    theta = amp * np.array(
+        [np.sin(w * t + phases[0]), np.sin(0.83 * w * t + phases[1]),
+         0.35 * np.sin(1.21 * w * t + phases[2])]
+    )
+    m = base.copy()
+    m[:3, :3] = base[:3, :3] @ _rotvec_to_matrix(theta)
+    return m
+
+
+def make_trajectory(name: str = "orbit", shake_amp: float = 0.06,
+                    shake_period: float = 1.3):
+    """Named trajectory -> pose_fn(t)->4x4 GL c2w. 'orbit' is the round-2
+    look-at orbit; 'shake' adds camera-frame rotational shake on top."""
+    if name == "orbit":
+        return orbit_pose_gl
+    if name == "shake":
+        return lambda t: shake_pose_gl(t, amp=shake_amp, period=shake_period)
+    raise ValueError(f"unknown trajectory {name!r}")
+
+
 def trajectory_velocities_gl(pose_fn, t: float, dt: float = 1e-3):
     """Camera-frame (GL axes) linear/angular velocity via central differences —
     same derivation as the reference's converters (process_synthetic_inputs.py:157-165,
@@ -141,6 +185,9 @@ def generate_scene(
     eval_interval: int = 8,
     background=(0.0, 0.0, 0.0),
     n_seed_points: int = 128,
+    trajectory: str = "orbit",
+    shake_amp: float = 0.06,
+    shake_period: float = 1.3,
 ) -> dict:
     """Write a full reference-contract dataset; returns the scene dict."""
     from PIL import Image
@@ -149,6 +196,7 @@ def generate_scene(
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     gauss = make_random_gaussians(rng, n_gaussians)
+    pose_fn = make_trajectory(trajectory, shake_amp, shake_period)
 
     fx = fy = img_size * 1.1
     cx = cy = img_size / 2.0
@@ -163,20 +211,20 @@ def generate_scene(
         exp_i = 0.0 if is_eval else exposure
         rs_i = 0.0 if is_eval else rolling_shutter
         img = render_frame_gt(
-            gauss, orbit_pose_gl, t_mid, fx, fy, cx, cy, img_size, img_size,
+            gauss, pose_fn, t_mid, fx, fy, cx, cy, img_size, img_size,
             exposure=exp_i, rs_time=rs_i, n_samples=1 if is_eval else n_blur_samples,
             gamma=gamma, background=background,
         )
         name = f"images/frame_{i:05d}.png"
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out_dir / name)
 
-        v_gl, w_gl = trajectory_velocities_gl(orbit_pose_gl, t_mid)
+        v_gl, w_gl = trajectory_velocities_gl(pose_fn, t_mid)
         if is_eval:
             v_gl, w_gl = np.zeros(3), np.zeros(3)
         frames.append(
             {
                 "file_path": name,
-                "transform_matrix": orbit_pose_gl(t_mid).tolist(),
+                "transform_matrix": pose_fn(t_mid).tolist(),
                 "camera_linear_velocity": np.asarray(v_gl).tolist(),
                 "camera_angular_velocity": np.asarray(w_gl).tolist(),
                 "motion_blur_score": 0.0 if is_eval else float(np.linalg.norm(v_gl)),

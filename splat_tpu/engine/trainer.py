@@ -345,6 +345,45 @@ class Trainer:
         from ..utils.profiling import StepTimer
 
         self.timer = StepTimer()
+        # per-signature dispatch durations: sig -> list of (seconds, steps).
+        # First call of a signature includes trace+compile; the excess over
+        # the steady-state median is the compile-cost estimate that
+        # compile_overhead_seconds() reports (VERDICT r2: the benchmark
+        # `time` column must separate compile from training wall clock —
+        # reference wall_clock_time_seconds is training-only, train.py:192-196)
+        self._dispatch_stats: dict = {}
+
+    def _record_dispatch(self, sig, seconds: float, steps: int):
+        self._dispatch_stats.setdefault(sig, []).append((seconds, steps))
+
+    def compile_overhead_seconds(self) -> float:
+        """Estimated seconds spent compiling step programs (train scan/step,
+        refine): per dispatch signature, the first call's excess over the
+        median of its later calls; single-call signatures fall back to the
+        steady per-step rate of the best-sampled signature of the same kind."""
+        per_step_rate = {}
+        for sig, calls in self._dispatch_stats.items():
+            if len(calls) >= 2:
+                rest = float(np.median([s for s, _ in calls[1:]]))
+                steps = calls[1][1]
+                if steps > 0 and rest > 0:
+                    kind = sig[0]
+                    n = sum(len(c) for k, c in self._dispatch_stats.items()
+                            if k[0] == kind)
+                    per_step_rate.setdefault(kind, (0, 0.0))
+                    if n >= per_step_rate[kind][0]:
+                        per_step_rate[kind] = (n, rest / steps)
+        total = 0.0
+        for sig, calls in self._dispatch_stats.items():
+            if len(calls) >= 2:
+                rest = float(np.median([s for s, _ in calls[1:]]))
+                total += max(0.0, calls[0][0] - rest)
+            else:
+                kind, (t0, steps) = sig[0], calls[0]
+                rate = per_step_rate.get(kind, (0, None))[1]
+                if rate is not None and steps > 0:
+                    total += max(0.0, t0 - steps * rate)
+        return total
 
     def _build_step_fns(self):
         """(Re)build every jitted function that closes over model_config —
@@ -595,6 +634,10 @@ class Trainer:
                 self.timer.stop()
                 # spread the block wall time over its steps for the summary
                 bt = self.timer.times.pop()
+                cap = self.params.gaussians.alive.shape[0]
+                self._record_dispatch(
+                    ("scan", id(self.train_scan), level, block, cap), bt, block
+                )
                 self.timer.times.extend([bt / block] * block)
                 loss = losses[-1]
                 for b in range(block - 1):
@@ -633,6 +676,11 @@ class Trainer:
                 ):
                     jax.block_until_ready(loss)
                 self.timer.stop()
+                self._record_dispatch(
+                    ("step", id(self.train_step), level,
+                     self.params.gaussians.alive.shape[0]),
+                    self.timer.times[-1], 1,
+                )
 
             # eval-camera optimization (scene frozen)
             if (
@@ -671,7 +719,9 @@ class Trainer:
                     gaussians=self._refine_gaussians()
                 )
                 if self._maybe_grow():
-                    pass  # opt/strategy state re-initialized at new capacity
+                    pass  # opt/strategy state padded to the new capacity
+                    # (Adam moments and the split-PRNG key are carried over
+                    # via grow_opt_state/grow_strategy_state, not re-init)
                 self._maybe_adapt_tile_capacity()
                 n_ref = self.step // cfg.refine_every
                 if cfg.reset_alpha_every > 0 and n_ref % cfg.reset_alpha_every == 0 and self.step < cfg.stop_split_at:
@@ -704,8 +754,14 @@ class Trainer:
         return self.history
 
     def _refine_gaussians(self):
+        t0 = time.perf_counter()
         g, s, changed, _info = self.refine(
             self.params.gaussians, self.strat_state, jnp.asarray(self.step)
+        )
+        jax.block_until_ready(s)
+        self._record_dispatch(
+            ("refine", id(self.refine), g.alive.shape[0]),
+            time.perf_counter() - t0, 0,
         )
         self.strat_state = s
         self.opt_state = zero_gaussian_opt_slots(

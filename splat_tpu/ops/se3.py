@@ -102,6 +102,29 @@ def so3_exp(w: jax.Array, eps: float = 1e-8) -> jax.Array:
     return eye + a[..., None, None] * K + b[..., None, None] * _mm(K, K)
 
 
+def so3_left_jacobian(w: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Exact SO(3) left Jacobian V(w) (..., 3) -> (..., 3, 3):
+
+        V = I + (1-cos t)/t^2 [w]x + (t - sin t)/t^3 [w]x^2
+
+    This is the translation coupling of the SE(3) exponential
+    (exp_se3(w, u) has translation V(w) u). Taylor-safe near t=0 so the
+    SE3 camera-optimizer mode is differentiable at its zero init."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < eps
+    # double-where: evaluate the exact branch at a SAFE theta so its backward
+    # is finite at theta=0 (where alone still differentiates the unsafe branch)
+    theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta_safe)) / theta2_safe)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta_safe - jnp.sin(theta_safe)) / (theta2_safe * theta_safe))
+    K = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + b[..., None, None] * K + c[..., None, None] * _mm(K, K)
+
+
 def so3_log(R: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Rotation matrix (..., 3, 3) -> axis-angle (..., 3)."""
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]

@@ -69,17 +69,20 @@ def init_distributed(coordinator_address: str | None = None,
     """Initialize multi-host JAX (one process per host, TPU pod slices).
 
     No-op when already initialized or single-process. On Cloud TPU the
-    arguments are auto-detected from the metadata server."""
-    if jax.process_count() > 1:
-        return
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-host
+    arguments are auto-detected from the metadata server.
+
+    The already-initialized check must NOT query jax.process_count(): that
+    initializes the local backend, after which distributed init can no longer
+    take effect (it would then silently run single-process)."""
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return  # distributed runtime already up
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_multihost_mesh(
@@ -118,9 +121,16 @@ def make_multihost_mesh(
             f"n_data={n_data} must equal (devices_per_slice/ici) x slices "
             f"= {data_local} x {n_slices}"
         )
+        # DCN granule: TPU slices when the backend reports slice_index
+        # (multi-slice pods), otherwise processes (one host = one granule —
+        # also what the 2-process CPU dryrun exercises,
+        # scripts_dev/dryrun_multihost.py).
+        slice_ids = {getattr(d, "slice_index", None) for d in jax.devices()}
+        by_process = len(slice_ids - {None}) <= 1
         devs = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(data_local, n_gauss, n_blur, n_tile),
             dcn_mesh_shape=(n_slices, 1, 1, 1),
+            process_is_granule=by_process,
         )
     else:
         devs = mesh_utils.create_device_mesh((n_data, n_gauss, n_blur, n_tile))

@@ -318,3 +318,78 @@ def test_check_benchmark_ordering():
 
     # empty tree is a failure, not a silent pass
     assert check([], margin=1.0, vel_tol=0.5)
+
+
+def test_check_benchmark_ordering_velnoise_rules():
+    """On corrupted-prior (*velnoise) datasets velocity_opt must BEAT its
+    fixed-prior parent; the beats-baseline rule is waived for fixed-prior
+    variants (cli/check_benchmark_ordering.py, VERDICT r2 #6)."""
+    sys.path.insert(0, str(REPO / "cli"))
+    from check_benchmark_ordering import check
+
+    def rows(entries):
+        return [
+            {"dataset": d, "session": s, "variant": v, "psnr": p}
+            for d, s, v, p in entries
+        ]
+
+    # velocity_opt recovers the corrupted prior -> ok even though plain
+    # motion_blur fails to beat baseline
+    good = rows([
+        ("synthetic-mb-velnoise", "scene0", "baseline", 24.0),
+        ("synthetic-mb-velnoise", "scene0", "motion_blur", 23.8),
+        ("synthetic-mb-velnoise", "scene0", "motion_blur-velocity_opt", 26.0),
+        ("synthetic-mb-velnoise", "scene0", "motion_blur-velocity_opt-zero_init", 25.5),
+    ])
+    assert check(good, margin=1.0, vel_tol=0.5) == []
+
+    # velocity_opt fails to beat the corrupted-prior parent -> violation
+    bad = rows([
+        ("synthetic-mb-velnoise", "scene0", "motion_blur", 23.8),
+        ("synthetic-mb-velnoise", "scene0", "motion_blur-velocity_opt", 23.9),
+    ])
+    assert len(check(bad, margin=1.0, vel_tol=0.5, vel_win_margin=0.3)) == 1
+
+
+def test_check_benchmark_ordering_missing_baseline_fails():
+    """Variant rows with no baseline row must FAIL, not silently pass
+    (ADVICE r2: a crashed baseline previously made the gate vacuous)."""
+    sys.path.insert(0, str(REPO / "cli"))
+    from check_benchmark_ordering import check
+
+    rows = [
+        {"dataset": "synthetic-mb", "session": "scene0",
+         "variant": "motion_blur", "psnr": 25.0},
+    ]
+    assert any("NO baseline" in f for f in check(rows, margin=1.0, vel_tol=0.5))
+
+
+def test_derive_velnoise(tmp_path):
+    """Velnoise derivation: train velocities perturbed deterministically, eval
+    frames keep the zero-velocity invariant, images shared."""
+    import json
+
+    sys.path.insert(0, str(REPO / "cli"))
+    from generate_synthetic_suite import derive_velnoise
+    from splat_tpu.data import synthetic
+
+    src = tmp_path / "mb" / "scene0"
+    synthetic.generate_scene(src, n_gaussians=20, n_frames=9, img_size=16,
+                             exposure=0.1, n_blur_samples=2, seed=4,
+                             trajectory="shake", shake_amp=0.05)
+    dst = tmp_path / "vn" / "scene0"
+    derive_velnoise(src, dst, seed=4)
+    m0 = json.loads((src / "transforms.json").read_text())
+    m1 = json.loads((dst / "transforms.json").read_text())
+    for f0, f1 in zip(m0["frames"], m1["frames"]):
+        v0 = np.array(f0["camera_linear_velocity"])
+        v1 = np.array(f1["camera_linear_velocity"])
+        if np.all(v0 == 0):  # eval frame
+            assert np.all(v1 == 0)
+        else:
+            assert np.any(v1 != v0)
+    assert (dst / "images").exists() and (dst / "sparse_pc.ply").exists()
+    # deterministic
+    dst2 = tmp_path / "vn2" / "scene0"
+    derive_velnoise(src, dst2, seed=4)
+    assert (dst2 / "transforms.json").read_text() == (dst / "transforms.json").read_text()

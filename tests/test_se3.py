@@ -78,3 +78,28 @@ def test_pose_delta_so3xr3_identity(rng):
     R1, p1 = se3.pose_delta_so3xr3(R0, p0, jnp.zeros((4, 3)), jnp.zeros((4, 3)))
     np.testing.assert_allclose(np.asarray(R1), np.asarray(R0), atol=1e-6)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-6)
+
+
+def test_so3_left_jacobian_matches_expm(rng):
+    """V(phi) equals the translation block of expm of the 4x4 twist:
+    exp_se3(phi, u) translation == V(phi) u (exact SE(3), VERDICT r2 #9)."""
+    from scipy.linalg import expm
+
+    phi = rng.normal(size=(16, 3)).astype(np.float32) * 0.5
+    u = rng.normal(size=(16, 3)).astype(np.float32)
+    V = np.asarray(se3.so3_left_jacobian(jnp.asarray(phi)))
+    for i in range(len(phi)):
+        tw = np.zeros((4, 4))
+        tw[:3, :3] = np.asarray(se3.skew(jnp.asarray(phi[i])))
+        tw[:3, 3] = u[i]
+        exact = expm(tw)[:3, 3]
+        np.testing.assert_allclose(V[i] @ u[i], exact, rtol=2e-5, atol=2e-6)
+
+
+def test_so3_left_jacobian_small_angle_and_grad():
+    phi0 = jnp.zeros((1, 3))
+    np.testing.assert_allclose(
+        np.asarray(se3.so3_left_jacobian(phi0))[0], np.eye(3), atol=1e-6
+    )
+    g = jax.grad(lambda p: jnp.sum(se3.so3_left_jacobian(p)))(phi0)
+    assert np.all(np.isfinite(np.asarray(g)))
