@@ -95,6 +95,19 @@ def main(argv=None):
 
     steps_done = 0
     next_eval = cfg.steps_per_eval
+    last_saved_model_cfg = cfg.model
+
+    def persist_config_if_grown():
+        # adaptive tile capacity may grow max_per_tile mid-run; the manifest
+        # must track it IMMEDIATELY (not only at exit) so mid-run checkpoints
+        # of a later-crashed run reload at the grown capacity instead of
+        # silently re-dropping the deepest tile entries
+        nonlocal cfg, last_saved_model_cfg
+        if trainer.model_config != last_saved_model_cfg:
+            cfg = dataclasses.replace(cfg, model=trainer.model_config)
+            cfg_mod.save_config(cfg, run_dir / "config.json")
+            last_saved_model_cfg = trainer.model_config
+
     while steps_done < cfg.max_num_iterations:
         chunk = min(
             cfg.steps_per_save,
@@ -103,6 +116,7 @@ def main(argv=None):
         )
         trainer.run(chunk, progress_cb=cb)
         steps_done += chunk
+        persist_config_if_grown()
         if cfg.steps_per_eval > 0 and steps_done >= next_eval:
             m = trainer.evaluate()
             rec = {"step": trainer.step, **{f"eval_{k}": v for k, v in m.items()}}
@@ -114,12 +128,7 @@ def main(argv=None):
             trainer.save_checkpoint(run_dir / "checkpoints" / f"step_{trainer.step}")
 
     wall = time.time() - t0
-    if trainer.model_config is not cfg.model:
-        # adaptive tile capacity may have grown max_per_tile mid-run; the
-        # manifest must match so reload (render_model/ns-eval) re-renders
-        # with the same capacity instead of silently re-dropping entries
-        cfg = dataclasses.replace(cfg, model=trainer.model_config)
-        cfg_mod.save_config(cfg, run_dir / "config.json")
+    persist_config_if_grown()
     metrics = trainer.evaluate()
     compile_s = trainer.compile_overhead_seconds()
     out = {

@@ -448,19 +448,41 @@ class Trainer:
         counts = np.asarray(self._binning_probe_fn()(self.params, cam))
         total = max(int(counts.sum()), 1)
         over = int(np.maximum(counts - cfg.max_per_tile, 0).sum())
+
+        # sorted-entry-stream capacity (max_total_entries): grow BEFORE it
+        # saturates — unlike max_per_tile overflow (drops the deepest,
+        # most-occluded entries) the stream cap drops whole high-tile-id
+        # segments, so it must never actually bind. Grow at 80% pressure.
+        grew_stream = False
+        if cfg.max_total_entries > 0:
+            landed = int(np.minimum(counts, cfg.max_per_tile).sum())
+            if landed > 0.8 * cfg.max_total_entries:
+                new_cap = cfg.max_total_entries
+                while landed > 0.8 * new_cap:
+                    new_cap *= 2
+                cfg = dataclasses.replace(cfg, max_total_entries=new_cap)
+                self.model_config = cfg
+                grew_stream = True
+
         if over <= tc.tile_overflow_tol * total:
             self._overflow_streak = 0
-            return False
+            if grew_stream:
+                self._build_step_fns()
+            return grew_stream
         self._overflow_streak = getattr(self, "_overflow_streak", 0) + 1
         if self._overflow_streak < 2:
-            return False
+            if grew_stream:
+                self._build_step_fns()
+            return grew_stream
         need = int(counts.max())
         new_k = cfg.max_per_tile
         while new_k < need and new_k < tc.max_tile_capacity:
             new_k *= 2
         new_k = min(new_k, tc.max_tile_capacity)
         if new_k == cfg.max_per_tile:
-            return False
+            if grew_stream:
+                self._build_step_fns()
+            return grew_stream
         self.model_config = dataclasses.replace(cfg, max_per_tile=new_k)
         self._overflow_streak = 0
         self._build_step_fns()

@@ -90,6 +90,12 @@ class SplatfactoConfig:
     tile_size: int | tuple[int, int] = 16
     max_per_tile: int = 256                    # per-tile depth-list capacity
     max_tiles_per_gaussian: int = 16           # footprint cap (span^2 tiles)
+    # sorted-entry-stream capacity (0 = off, i.e. N*max_tiles_per_gaussian):
+    # downstream row gathers run over this sorted prefix instead of the full
+    # padded stream (most of which is conic-culled sentinels). Real entries
+    # beyond the cap are dropped (lists.entry_overflow); the trainer grows it
+    # like max_per_tile when the probe shows pressure.
+    max_total_entries: int = 0
     chunk: int = 32
     # auto -> pallas kernels on TPU, jnp tile path elsewhere (pallas interpret
     # mode on CPU is far slower than the vmapped jnp path)
@@ -341,6 +347,7 @@ def render_camera(
             max_tiles_per_gaussian=config.max_tiles_per_gaussian,
             chunk=config.chunk,
             impl=resolve_impl(config.impl),
+            max_total_entries=config.max_total_entries,
         )
 
     if eps.shape[0] == 1:
@@ -378,6 +385,7 @@ def render_camera(
                 max_tiles_per_gaussian=config.max_tiles_per_gaussian,
                 chunk=config.chunk,
                 impl=resolve_impl(config.impl),
+                max_total_entries=config.max_total_entries,
                 reduce="mean",
                 mid_index=(mid_global - offsets[a]) if in_group else None,
             ))

@@ -139,19 +139,34 @@ def lpips_batch(preds, gts) -> float | None:
     return float(np.mean(vals)) if vals else None
 
 
-def convert_torch_checkpoint(lpips_dir: str, out_npz: str) -> None:
+def convert_torch_checkpoint(
+    lpips_dir: str, out_npz: str, alexnet_state: str | dict | None = None
+) -> None:
     """One-time converter (run where torch + the LPIPS checkpoint exist):
-    packs torchvision AlexNet features + LPIPS linear weights into the npz
-    contract above."""
+    packs the AlexNet feature trunk + LPIPS linear weights into the npz
+    contract above.
+
+    Trunk source: `alexnet_state` — a torch state-dict (or path to one) with
+    torchvision key layout (`features.{idx}.weight/bias`); when None, the
+    trunk is pulled from torchvision's pretrained alexnet (needs torchvision
+    + network)."""
     import torch  # noqa: deliberate optional dependency
 
-    import torchvision
-
-    alex = torchvision.models.alexnet(weights="IMAGENET1K_V1").features
     out = {}
-    for idx in _CONV_IDX:
-        out[f"features.{idx}.weight"] = alex[idx].weight.detach().numpy()
-        out[f"features.{idx}.bias"] = alex[idx].bias.detach().numpy()
+    if alexnet_state is None:
+        import torchvision
+
+        alex = torchvision.models.alexnet(weights="IMAGENET1K_V1").features
+        for idx in _CONV_IDX:
+            out[f"features.{idx}.weight"] = alex[idx].weight.detach().numpy()
+            out[f"features.{idx}.bias"] = alex[idx].bias.detach().numpy()
+    else:
+        if isinstance(alexnet_state, (str, Path)):
+            alexnet_state = torch.load(alexnet_state, map_location="cpu")
+        for idx in _CONV_IDX:
+            for part in ("weight", "bias"):
+                key = f"features.{idx}.{part}"
+                out[key] = torch.as_tensor(alexnet_state[key]).detach().numpy()
     lin = torch.load(lpips_dir, map_location="cpu")
     for k in range(5):
         key = f"lin{k}.model.1.weight"

@@ -5,10 +5,14 @@ Motivation (scripts_dev/roofline.py + probe_kernel_variants): the row-major
 kernels put the Gaussian chunk on the 128-lane axis, so a tile with count=26
 (the bench scene's MEDIAN) still pays full 128-lane vector ops — measured
 lane utilization ~40%. Sublanes have granularity 8, so flipping the chunk
-onto sublanes lets the dynamic trip count advance in chunks of GCHUNK=32
-gaussians: padding waste drops from (128 - c mod 128) to (32 - c mod 32) per
-tile, and the early-exit check fires at 4x finer depth granularity on
-saturated tiles.
+onto sublanes lets the dynamic trip count advance in chunks of GCHUNK
+gaussians (default 64; override via SPLAT_TPU_GCHUNK — values must divide
+the padded per-tile capacity, which the wrapper aligns to K_ALIGN=GCHUNK in
+'gmajor' layout and CHUNK=128 in 'mixed', so use a divisor of 128 there):
+padding waste drops from (128 - c mod 128) to (GCHUNK - c mod GCHUNK) per
+tile, and the early-exit check fires at finer depth granularity on
+saturated tiles. GCHUNK=64 measured fastest (9.22 ms fwd vs 11.4 at 32 —
+BASELINE.md kernel experiments table).
 
 Two measured dead ends shaped this design (probe_kernel_variants on v5e):
   * Hillis-Steele ROLL scans (lane axis, SPLAT_TPU_CUMSUM=prod: 21.2 vs

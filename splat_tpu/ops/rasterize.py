@@ -183,7 +183,7 @@ def assemble_image(tiles: jax.Array, img_w: int, img_h: int, tile_size) -> jax.A
     jax.jit,
     static_argnames=(
         "img_w", "img_h", "tile_size", "max_per_tile", "max_tiles_per_gaussian",
-        "chunk", "impl", "rs_full_height",
+        "chunk", "impl", "rs_full_height", "max_total_entries",
     ),
 )
 def rasterize(
@@ -201,6 +201,7 @@ def rasterize(
     impl: str = "jnp",
     rs_full_height: int | None = None,
     rs_row_offset: jax.Array | int = 0,
+    max_total_entries: int = 0,
 ) -> RenderOutput:
     """Full tile rasterization of one (sub-)frame from projected Gaussians.
 
@@ -218,6 +219,8 @@ def rasterize(
         img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
         radius_pad=radius_pad, conics=proj.conics, opacities=op_eff,
         materialize_indices=(impl != "pallas"),
+        row0_px=rs_row_offset, full_img_h=rs_full_height,
+        max_total_entries=max_total_entries,
     )
 
     if impl == "jnp":
@@ -254,6 +257,7 @@ def rasterize(
     static_argnames=(
         "img_w", "img_h", "tile_size", "max_per_tile", "max_tiles_per_gaussian",
         "chunk", "impl", "rs_full_height", "reduce", "mid_index",
+        "max_total_entries",
     ),
 )
 def rasterize_fused(
@@ -274,6 +278,7 @@ def rasterize_fused(
     rs_row_offset: jax.Array | int = 0,
     reduce: str | None = None,
     mid_index: int | None = None,
+    max_total_entries: int = 0,
 ) -> RenderOutput:
     """Fused-exposure rasterization: all S blur sub-frames from ONE binning.
 
@@ -306,6 +311,8 @@ def rasterize_fused(
         img_w, img_h, tile_size, max_per_tile, max_tiles_per_gaussian,
         radius_pad=radius_pad, conics=proj.conics, opacities=op_eff,
         materialize_indices=(impl != "pallas"),
+        row0_px=rs_row_offset, full_img_h=rs_full_height,
+        max_total_entries=max_total_entries,
     )
 
     if impl == "jnp":

@@ -77,8 +77,11 @@ class TileLists(NamedTuple):
                             # gather VJP run as a GATHER in entry order + dense
                             # (N, M) reduce instead of a T*K-row scatter-add
                             # (measured 4.3 ms vs 14.1 ms at 1M slots).
-    sorted_ids: jax.Array   # (N * M,) int32 gaussian id per sorted position
+    sorted_ids: jax.Array   # (L_cap,) int32 gaussian id per sorted position
+                            # (L_cap = max_total_entries or N*M)
     starts: jax.Array       # (num_tiles,) int32 first sorted position per tile
+    entry_overflow: jax.Array  # () int32: real entries dropped by the
+                               # max_total_entries sorted-stream capacity
 
 
 def tile_wh(tile_size) -> tuple[int, int]:
@@ -108,6 +111,8 @@ def gaussian_tile_rects(
     tile_size: int,
     radius_pad: jax.Array | None = None,
     max_span: int | None = None,
+    row0_px: jax.Array | float = 0.0,
+    full_img_h: int | None = None,
 ) -> tuple[TileRects, jax.Array]:
     """Tile-coordinate rects [x0,x1) x [y0,y1) per Gaussian.
 
@@ -118,38 +123,55 @@ def gaussian_tile_rects(
     |pix_vel| * t_max) so moving Gaussians stay inside their binned tiles.
     max_span: clamp rect width/height to this many tiles, centered on the mean
     (keeps the expansion budget static). Returns (rects, was_clipped).
+
+    row0_px / full_img_h: set when `means2d` is in ROW-STRIP coordinates of a
+    taller image (tile-sharded rendering, parallel.sharding). The footprint
+    rect AND the max_span clamp window are computed in GLOBAL tile
+    coordinates and only then intersected with the strip — otherwise an
+    oversize footprint's clamp window re-centers inside the strip and the
+    strip-rendered image diverges from the single-device render (a boundary-
+    crossing footprint can even lose its strip rows entirely). Strips must be
+    tile-aligned (row0_px a multiple of tile_h; sharding asserts this).
     """
     tw, th = num_tiles(img_w, img_h, tile_size)
     sw, sh = tile_wh(tile_size)
+    _, th_g = num_tiles(img_w, img_h if full_img_h is None else full_img_h,
+                        tile_size)
+    r0 = (jnp.asarray(row0_px, jnp.float32) / sh).astype(jnp.int32)
     if extents.ndim == 1:
         extents = jnp.stack([extents, extents], axis=-1)
     pad = 0.0 if radius_pad is None else radius_pad
     rx = extents[:, 0] + pad
     ry = extents[:, 1] + pad
+    gy = means2d[:, 1] + row0_px          # global pixel rows
     x0 = jnp.floor((means2d[:, 0] - rx) / sw).astype(jnp.int32)
-    y0 = jnp.floor((means2d[:, 1] - ry) / sh).astype(jnp.int32)
+    y0 = jnp.floor((gy - ry) / sh).astype(jnp.int32)
     x1 = jnp.floor((means2d[:, 0] + rx) / sw).astype(jnp.int32) + 1
-    y1 = jnp.floor((means2d[:, 1] + ry) / sh).astype(jnp.int32) + 1
+    y1 = jnp.floor((gy + ry) / sh).astype(jnp.int32) + 1
     x0 = jnp.clip(x0, 0, tw)
-    y0 = jnp.clip(y0, 0, th)
+    y0 = jnp.clip(y0, 0, th_g)            # global-image clip
     x1 = jnp.clip(x1, 0, tw)
-    y1 = jnp.clip(y1, 0, th)
+    y1 = jnp.clip(y1, 0, th_g)
 
     clipped = jnp.zeros_like(x0, dtype=bool)
     if max_span is not None:
         span_x, span_y = (max_span if isinstance(max_span, tuple)
                           else (max_span, max_span))
         cx = jnp.clip(jnp.floor(means2d[:, 0] / sw).astype(jnp.int32), 0, tw - 1)
-        cy = jnp.clip(jnp.floor(means2d[:, 1] / sh).astype(jnp.int32), 0, th - 1)
+        cy = jnp.clip(jnp.floor(gy / sh).astype(jnp.int32), 0, th_g - 1)
         wide_x = (x1 - x0) > span_x
         wide_y = (y1 - y0) > span_y
         clipped = wide_x | wide_y
         nx0 = jnp.clip(cx - span_x // 2, 0, tw)
-        ny0 = jnp.clip(cy - span_y // 2, 0, th)
+        ny0 = jnp.clip(cy - span_y // 2, 0, th_g)
         x0 = jnp.where(wide_x, nx0, x0)
         x1 = jnp.where(wide_x, jnp.minimum(nx0 + span_x, tw), x1)
         y0 = jnp.where(wide_y, ny0, y0)
-        y1 = jnp.where(wide_y, jnp.minimum(ny0 + span_y, th), y1)
+        y1 = jnp.where(wide_y, jnp.minimum(ny0 + span_y, th_g), y1)
+
+    # global tile rows -> strip rows
+    y0 = jnp.clip(y0 - r0, 0, th)
+    y1 = jnp.clip(y1 - r0, 0, th)
 
     keep = valid & (jnp.max(extents, axis=-1) > 0)
     x1 = jnp.where(keep, x1, x0)  # empty rect for culled gaussians
@@ -160,6 +182,7 @@ def gaussian_tile_rects(
 def _expand_tile_entries(
     means2d, extents, depths, valid, img_w, img_h, tile_size,
     max_tiles_per_gaussian, radius_pad, conics, opacities, alpha_thresh,
+    row0_px=0.0, full_img_h=None,
 ):
     """Candidate (gaussian, tile) entries: footprint rects expanded to at most
     M entries per gaussian, with the exact conic-vs-rect alpha cull applied.
@@ -176,6 +199,8 @@ def _expand_tile_entries(
         valid, img_w, img_h, tile_size,
         radius_pad=None if radius_pad is None else jax.lax.stop_gradient(radius_pad),
         max_span=(span_x, span_y),
+        row0_px=jax.lax.stop_gradient(jnp.asarray(row0_px)),
+        full_img_h=full_img_h,
     )
     w_rect = rects.x1 - rects.x0  # (N,)
     h_rect = rects.y1 - rects.y0
@@ -216,7 +241,8 @@ def _expand_tile_entries(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("img_w", "img_h", "tile_size", "max_tiles_per_gaussian"),
+    static_argnames=("img_w", "img_h", "tile_size", "max_tiles_per_gaussian",
+                     "full_img_h"),
 )
 def tile_population(
     means2d: jax.Array,
@@ -231,6 +257,8 @@ def tile_population(
     conics: jax.Array | None = None,
     opacities: jax.Array | None = None,
     alpha_thresh: float = 1.0 / 255.0,
+    row0_px: jax.Array | float = 0.0,
+    full_img_h: int | None = None,
 ) -> jax.Array:
     """UNCLAMPED per-tile entry counts (num_tiles,) — the adaptive-capacity
     probe. Same footprint + conic-cull logic as build_tile_lists (so the
@@ -242,6 +270,7 @@ def tile_population(
     tile_ids, _ = _expand_tile_entries(
         means2d, extents, depths, valid, img_w, img_h, tile_size,
         max_tiles_per_gaussian, radius_pad, conics, opacities, alpha_thresh,
+        row0_px=row0_px, full_img_h=full_img_h,
     )
     flat = jnp.clip(tile_ids.reshape(-1), 0, tw * th)  # sentinel -> extra bin
     counts = jnp.zeros((tw * th + 1,), jnp.int32).at[flat].add(1)
@@ -250,7 +279,8 @@ def tile_population(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("img_w", "img_h", "tile_size", "max_per_tile",
+    static_argnames=("full_img_h", "max_total_entries", "img_w", "img_h",
+                     "tile_size", "max_per_tile",
                      "max_tiles_per_gaussian", "materialize_indices"),
 )
 def build_tile_lists(
@@ -268,6 +298,9 @@ def build_tile_lists(
     opacities: jax.Array | None = None,
     alpha_thresh: float = 1.0 / 255.0,
     materialize_indices: bool = True,
+    row0_px: jax.Array | float = 0.0,
+    full_img_h: int | None = None,
+    max_total_entries: int = 0,
 ) -> TileLists:
     """Build dense per-tile, depth-sorted Gaussian index lists.
 
@@ -285,6 +318,7 @@ def build_tile_lists(
     tile_ids, was_clipped = _expand_tile_entries(
         means2d, extents, depths, valid, img_w, img_h, tile_size,
         max_tiles_per_gaussian, radius_pad, conics, opacities, alpha_thresh,
+        row0_px=row0_px, full_img_h=full_img_h,
     )
 
     depths_sg = jax.lax.stop_gradient(depths)
@@ -303,9 +337,25 @@ def build_tile_lists(
         (flat_tiles, flat_depths, flat_ids, entry_ids), num_keys=2
     )
 
+    # Sorted-stream capacity: every downstream PER-ROW-costed op (the L-row
+    # parameter gather in ops/pallas, the dense id-table gather) runs over the
+    # sorted prefix of length l_cap instead of the full N*M padded stream —
+    # on the bench scene only ~18% of the padded entries are real (the conic
+    # cull marks the rest TILE_SENTINEL, which sorts to the tail), so a
+    # modest static cap removes most of the gather work (BASELINE.md: XLA
+    # gathers cost ~2.6 ns/ROW regardless of width). Real entries beyond
+    # l_cap are dropped (counted in entry_overflow; note the drop bias is by
+    # SORT KEY, i.e. whole high-tile-id segments — size the cap with
+    # headroom / let the trainer grow it, like max_per_tile).
+    l_cap = n_entries if max_total_entries <= 0 else min(max_total_entries, n_entries)
+    n_real = jnp.sum((sorted_tiles < TILE_SENTINEL).astype(jnp.int32))
+    entry_overflow = jnp.maximum(n_real - l_cap, 0)
+    sorted_tiles_c = sorted_tiles[:l_cap]
+    sorted_ids_c = sorted_ids[:l_cap]
+
     # Bin edges: one searchsorted per tile boundary.
     tile_range = jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    edges = jnp.searchsorted(sorted_tiles, tile_range, side="left").astype(jnp.int32)
+    edges = jnp.searchsorted(sorted_tiles_c, tile_range, side="left").astype(jnp.int32)
     starts, ends = edges[:-1], edges[1:]
     counts_full = ends - starts
     counts = jnp.minimum(counts_full, max_per_tile)
@@ -316,7 +366,7 @@ def build_tile_lists(
         # (traced at 7.5 ms for 1M slots) and slices parameters directly from
         # sorted order via `sorted_ids`/`starts`.
         j = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-        ids_padded = jnp.pad(sorted_ids, (0, max_per_tile))
+        ids_padded = jnp.pad(sorted_ids_c, (0, max_per_tile))
         idx = jnp.take(ids_padded, starts[:, None] + j, axis=0)
         idx = jnp.where(j < counts[:, None], idx, -1)
     else:
@@ -335,7 +385,10 @@ def build_tile_lists(
     ])
     seg_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
     j_of_pos = pos - seg_start
-    slot_valid = (sorted_tiles < TILE_SENTINEL) & (j_of_pos < max_per_tile)
+    slot_valid = (
+        (sorted_tiles < TILE_SENTINEL) & (j_of_pos < max_per_tile)
+        & (pos < l_cap)
+    )
     dummy = jnp.int32(n_tiles * max_per_tile)
     slot_of_pos = jnp.where(
         slot_valid, t_of_pos * max_per_tile + j_of_pos, dummy
@@ -348,6 +401,7 @@ def build_tile_lists(
         overflow=jnp.sum(counts_full - counts),
         clipped=jnp.sum(was_clipped.astype(jnp.int32)),
         entry_slots=slot_of_entry,
-        sorted_ids=sorted_ids,
+        sorted_ids=sorted_ids_c,
         starts=starts,
+        entry_overflow=entry_overflow,
     )

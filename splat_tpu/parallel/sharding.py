@@ -301,6 +301,7 @@ def _render_strip_linear(
         tile_size=config.tile_size,
         max_per_tile=config.max_per_tile,
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        max_total_entries=config.max_total_entries,
         chunk=config.chunk,
         impl=sf.resolve_impl(config.impl),
         rs_full_height=full_h,

@@ -116,3 +116,37 @@ def test_lpips_matches_independent_torch_oracle(fake_weights):
     got = lp.lpips(x, y)
     assert got == pytest.approx(want, rel=2e-4), (got, want)
     assert got == pytest.approx(_GOLDEN_LPIPS, rel=2e-4), got
+
+
+def test_convert_weights_script_roundtrip(tmp_path):
+    """scripts/convert_lpips_weights.py: torch checkpoint (trunk state-dict +
+    LPIPS linear weights) -> npz contract, with the built-in oracle
+    verification gate passing (VERDICT r2 #8 on-ramp)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    torch = pytest.importorskip("torch")
+
+    repo = Path(__file__).resolve().parent.parent
+    sd = {}
+    for k, ch in enumerate([64, 192, 384, 256, 256]):
+        sd[f"lin{k}.model.1.weight"] = torch.rand(1, ch, 1, 1)
+    trunk = {}
+    in_ch = 3
+    for idx, (out_ch, kk, _, _) in zip(lp._CONV_IDX, lp._ALEX_CONVS):
+        trunk[f"features.{idx}.weight"] = torch.randn(out_ch, in_ch, kk, kk) * 0.05
+        trunk[f"features.{idx}.bias"] = torch.zeros(out_ch)
+        in_ch = out_ch
+    torch.save(sd, tmp_path / "alex.pth")
+    torch.save(trunk, tmp_path / "trunk.pth")
+    r = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "convert_lpips_weights.py"),
+         str(tmp_path / "alex.pth"), str(tmp_path / "w.npz"),
+         str(tmp_path / "trunk.pth")],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "verified" in r.stdout
+    w = np.load(tmp_path / "w.npz")
+    assert set(w.files) >= {f"lin{k}.weight" for k in range(5)}

@@ -239,3 +239,75 @@ def test_rect_tiles_pallas_matches_jnp():
     g_j = jax.grad(lambda m: loss("jnp", m))(proj.means2d)
     g_p = jax.grad(lambda m: loss("pallas", m))(proj.means2d)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j), atol=2e-4, rtol=1e-3)
+
+
+_LAYOUT_WORKER = r"""
+import os, sys
+layout = sys.argv[1]
+os.environ["SPLAT_TPU_LAYOUT"] = layout
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[2])
+import jax.numpy as jnp
+import numpy as np
+from splat_tpu.ops import projection, rasterize
+from splat_tpu.ops import pallas as pk
+assert pk._LAYOUT == layout, pk._LAYOUT
+
+rng = np.random.default_rng(3)
+n, img_w, img_h = 100, 32, 24
+fx = fy = 40.0
+means = rng.normal(size=(n, 3)) * np.array([0.45, 0.4, 0.8]) + np.array([0, 0, 4.0])
+scales = np.exp(rng.normal(size=(n, 3)) * 0.35) * 0.12
+quats = rng.normal(size=(n, 4)); quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+colors = jnp.asarray(rng.uniform(0.0, 1.0, size=(n, 3)))
+opac = jnp.asarray(rng.uniform(0.3, 0.95, size=(n,)))
+proj = projection.project_gaussians(
+    jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+    jnp.eye(3), jnp.zeros(3), fx, fy, img_w / 2, img_h / 2, img_w, img_h,
+    lin_vel=jnp.array([0.5, -0.3, 0.2]), ang_vel=jnp.array([0.1, 0.15, -0.1]))
+bg = jnp.array([0.15, 0.25, 0.35])
+eps = jnp.array([-0.04, 0.0, 0.05])
+kw = dict(tile_size=8, max_per_tile=128, max_tiles_per_gaussian=16,
+          rolling_shutter_time=0.03)
+
+def run(impl):
+    def loss_and_img(means2d, cols, op):
+        p = proj._replace(means2d=means2d)
+        out = rasterize.rasterize_fused(p, cols, op, img_w, img_h, bg, eps=eps,
+                                        impl=impl, chunk=16, **kw)
+        return jnp.mean(out.rgb ** 2), out.rgb
+    (l, img), g = jax.value_and_grad(loss_and_img, argnums=(0, 1, 2),
+                                     has_aux=True)(proj.means2d, colors, opac)
+    return img, g
+
+img_p, g_p = run("pallas")
+img_j, g_j = run("jnp")
+np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_j), atol=1e-4)
+for a, b in zip(g_p, g_j):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+    assert float(jnp.abs(jnp.asarray(b)).sum()) > 0
+print("LAYOUT_OK", layout)
+"""
+
+
+@pytest.mark.parametrize("layout", ["row", "gmajor", "mixed"])
+def test_layouts_fused_forward_and_grads_match_jnp(layout):
+    """Every kernel layout (row / gmajor / mixed) stays exact vs the jnp
+    oracle for fused values AND gradients. SPLAT_TPU_LAYOUT is read at import
+    time, so each layout runs in a subprocess (ADVICE r2: the gmajor backward
+    was reachable only via env var and covered by no test)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, "-c", _LAYOUT_WORKER, layout, str(repo)],
+        capture_output=True, text=True, timeout=900,
+        env={k: v for k, v in __import__("os").environ.items()
+             if k != "SPLAT_TPU_LAYOUT"},
+    )
+    assert r.returncode == 0, f"layout {layout}:\n{r.stdout}\n{r.stderr}"
+    assert f"LAYOUT_OK {layout}" in r.stdout

@@ -197,3 +197,56 @@ def test_exact_conic_cull_is_lossless():
         g, w, h, 8, jnp.asarray(0.03), 16)
     rgb_ref = rasterize.assemble_image(rgb_t, w, h, 8)
     np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_ref), atol=1e-5)
+
+
+def test_max_total_entries_parity_and_overflow():
+    """Sorted-entry-stream capacity (max_total_entries): with a cap that
+    covers every real entry the tile lists (and a full pallas fused render +
+    grads) are IDENTICAL to the uncapped build; a tight cap drops entries and
+    reports them in entry_overflow instead of failing."""
+    proj, colors, opac, w, h = make_scene(seed=9)
+    kw = dict(tile_size=8, max_per_tile=64, max_tiles_per_gaussian=16)
+    base = tiling.build_tile_lists(
+        proj.means2d, proj.extents, proj.depths, proj.valid, w, h, **kw
+    )
+    n_real = int(base.counts.sum()) + int(base.overflow)
+    cap = ((n_real + 127) // 128 + 1) * 128
+    capped = tiling.build_tile_lists(
+        proj.means2d, proj.extents, proj.depths, proj.valid, w, h,
+        max_total_entries=cap, **kw
+    )
+    assert int(capped.entry_overflow) == 0
+    np.testing.assert_array_equal(np.asarray(base.counts), np.asarray(capped.counts))
+    np.testing.assert_array_equal(np.asarray(base.indices), np.asarray(capped.indices))
+    np.testing.assert_array_equal(
+        np.asarray(base.entry_slots), np.asarray(capped.entry_slots)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.sorted_ids)[:cap], np.asarray(capped.sorted_ids)
+    )
+
+    # full render parity through the pallas wrapper (gathers run over the
+    # capped stream), values AND grads
+    bg = jnp.array([0.2, 0.3, 0.1])
+    eps = jnp.array([-0.03, 0.0, 0.04])
+
+    def loss(mte, means2d):
+        p = proj._replace(means2d=means2d)
+        out = rasterize.rasterize_fused(
+            p, colors, opac, w, h, bg, eps=eps, impl="pallas",
+            max_total_entries=mte, **kw
+        )
+        return jnp.mean(out.rgb ** 2), out.rgb
+
+    (l0, img0), g0 = jax.value_and_grad(lambda m: loss(0, m), has_aux=True)(proj.means2d)
+    (l1, img1), g1 = jax.value_and_grad(lambda m: loss(cap, m), has_aux=True)(proj.means2d)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
+
+    # tight cap: entries drop, overflow reported, nothing crashes
+    tight = tiling.build_tile_lists(
+        proj.means2d, proj.extents, proj.depths, proj.valid, w, h,
+        max_total_entries=128, **kw
+    )
+    assert int(tight.entry_overflow) == max(n_real - 128, 0)
+    assert int(tight.counts.sum()) <= 128

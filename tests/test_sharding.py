@@ -448,3 +448,144 @@ def test_sharded_checkpoint_roundtrip(mesh_scene, tmp_path):
         jax.tree.leaves(t1.params.gaussians), jax.tree.leaves(t2.params.gaussians)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_data_axis_matches_batch_mean_reference(mesh_scene):
+    """data=d SEMANTICS (VERDICT r2 #7): one sharded step with a d-camera
+    batch == an explicit single-device step on the MEAN of the d per-camera
+    losses (scale reg / camera penalty added once — they are camera-
+    independent, so mean-of-totals == mean-of-cores + extras). Tight
+    tolerance over 3 steps."""
+    mc = trainer_model_config(warmup_length=1000, refine_every=1000)
+    d = 2
+    mesh = small_mesh(mc, data=2, gauss=1, blur=2, tile=2)
+
+    from splat_tpu.models import strategy as st_mod
+
+    tc = tr.TrainerConfig(seed=0)
+    params0 = sf.init_model(
+        mesh_scene.points_xyz, mesh_scene.points_rgb,
+        len(mesh_scene.train_cameras), len(mesh_scene.eval_cameras), mc, seed=0,
+    )
+    optimizer = tr.build_optimizer(params0, tc)
+    cams = tr.Trainer._localize(mesh_scene.train_cameras)
+    from splat_tpu.data import dataset as ds_mod
+
+    train_images, _ = ds_mod.load_scene_images(mesh_scene)
+    key0 = jax.random.PRNGKey(7)
+
+    def batches():
+        key = key0
+        for s in range(3):
+            idxs = np.arange(s * d, (s + 1) * d)
+            key, k = jax.random.split(key)
+            yield s, idxs, k
+
+    # sharded path
+    p1 = params0
+    o1 = optimizer.init(p1)
+    s1 = st_mod.init_strategy_state(p1.gaussians.alive.shape[0], 0)
+    p1, o1, s1 = sharding.place_train_state(mesh, p1, o1, s1)
+    step_fn = sharding.make_sharded_train_step(mc, mesh, optimizer, donate=False)
+    losses_sharded = []
+    for s, idxs, k in batches():
+        cam = cams[idxs]
+        gt = jnp.asarray(train_images.images[idxs])
+        p1, o1, s1, loss, _ = step_fn(p1, o1, s1, cam, gt, jnp.asarray(s), k)
+        losses_sharded.append(float(loss))
+
+    # explicit single-device d-camera mean-loss reference
+    import optax as _optax
+
+    p2 = params0
+    o2 = optimizer.init(p2)
+    s2 = st_mod.init_strategy_state(p2.gaussians.alive.shape[0], 0)
+
+    @jax.jit
+    def ref_step(params, opt_state, strat_state, cam_batch, gts, step, key):
+        sh_deg = sf.active_sh_degree(mc, step)
+        probe = jnp.zeros_like(params.gaussians.means[:, :2])
+
+        def loss_fn(p, probe):
+            bg = sf.background_color(p, mc, key)
+            per_cam = []
+            for j in range(d):
+                # render_camera consumes a length-1 leading camera dim
+                cam_j = jax.tree.map(lambda leaf: leaf[j:j + 1], cam_batch)
+                out = sf.render_camera(p, cam_j, mc, sh_deg, bg,
+                                       means2d_probe=probe)
+                pred = sf.gamma_encode(out.rgb, mc)
+                lj, _ = sf.compute_losses(pred, gts[j], p, mc)
+                per_cam.append(lj)
+            return jnp.mean(jnp.stack(per_cam))
+
+        loss, (g, g_probe) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, probe
+        )
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        params = _optax.apply_updates(params, updates)
+        visible = jnp.linalg.norm(g_probe, axis=-1) > 0
+        strat_state = st_mod.accumulate_grads(
+            strat_state, g_probe, visible, cam_batch.width, cam_batch.height
+        )
+        return params, opt_state, strat_state, loss
+
+    losses_ref = []
+    for s, idxs, k in batches():
+        cam = cams[idxs]
+        gt = jnp.asarray(train_images.images[idxs])
+        p2, o2, s2, loss = ref_step(p2, o2, s2, cam, gt, jnp.asarray(s), k)
+        losses_ref.append(float(loss))
+
+    np.testing.assert_allclose(losses_sharded, losses_ref, rtol=2e-5, atol=1e-6)
+    # parameter comparison at the scan-test tolerance: gaussians with ~zero
+    # gradient get 1e-7 psum-reordering noise sign-amplified to O(lr) by
+    # Adam's normalized update (see the trajectory test's note); the tight
+    # equivalence signal is the loss match above
+    for a, b in zip(jax.tree.leaves(p1.gaussians), jax.tree.leaves(p2.gaussians)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-2, rtol=0.0,
+        )
+    # densification statistics must agree too (same probe-grad stream)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        if np.asarray(a).dtype == np.uint32:
+            continue  # PRNG key
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-3, rtol=1e-4,
+        )
+
+
+def test_sharded_trainer_tracks_single_device_at_each_refine(mesh_scene):
+    """Localized drift check (VERDICT r2 #10): run mesh and single-device
+    trainers in lockstep CHUNKS to each refine boundary and compare right
+    after every refine — not only at the end — so mesh/single divergence is
+    pinned to the boundary that introduced it. Functional comparison (renders)
+    plus visible-bulk parameter tracking; raw-logit equality is meaningless
+    for invisible gaussians (Adam sign-amplifies ~1e-7 psum-reordering noise,
+    see test_sharded_trainer_matches_single_device_trajectory)."""
+    from splat_tpu.ops.ssim import psnr as psnr_fn
+
+    mc = trainer_model_config(densify_grad_thresh=1e-6, cull_alpha_thresh=1e-3)
+    tc = tr.TrainerConfig(max_steps=30, seed=0, sync_every=100)
+    t1 = tr.Trainer(mesh_scene, mc, tc)
+    t2 = tr.Trainer(mesh_scene, mc, tc, mesh=small_mesh(mc))
+    boundaries = [10, 20, 30]  # refine_every=10
+    prev = 0
+    for b in boundaries:
+        t1.run(b - prev)
+        t2.run(b - prev)
+        prev = b
+        n1 = int(t1.params.gaussians.alive.sum())
+        n2 = int(t2.params.gaussians.alive.sum())
+        assert n1 == n2, f"refine diverged at step {b}: {n1} vs {n2} alive"
+        r1 = t1.render_eval(0)
+        r2 = t2.render_eval(0)
+        p = float(psnr_fn(jnp.asarray(r1), jnp.asarray(r2)))
+        assert p > 38.0, f"renders diverged at refine step {b}: {p:.1f} dB"
+        d_means = np.abs(
+            np.asarray(t1.params.gaussians.means)
+            - np.asarray(t2.params.gaussians.means)
+        ).mean()
+        assert d_means < 1.5e-3, f"means diverged at step {b}: {d_means}"
