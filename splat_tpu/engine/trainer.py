@@ -746,7 +746,16 @@ class Trainer:
                     # via grow_opt_state/grow_strategy_state, not re-init)
                 self._maybe_adapt_tile_capacity()
                 n_ref = self.step // cfg.refine_every
-                if cfg.reset_alpha_every > 0 and n_ref % cfg.reset_alpha_every == 0 and self.step < cfg.stop_split_at:
+                # Never reset opacities without a recovery window: a reset
+                # needs ~one full revisit of the train views (the same window
+                # the post-reset refine pause uses) before the model is
+                # evaluable again. With the splatfacto schedule (reset every
+                # 30 refines = 3000 steps) a 3000-step draft run would
+                # otherwise reset on its FINAL step and be evaluated with
+                # every opacity clamped at 2x the cull threshold — measured
+                # ~17.5 dB eval ceiling regardless of scene or variant.
+                can_recover = self.step + reset_pause <= tc.max_steps
+                if cfg.reset_alpha_every > 0 and n_ref % cfg.reset_alpha_every == 0 and self.step < cfg.stop_split_at and can_recover:
                     self.params = self.params._replace(
                         gaussians=self.reset_opacity(self.params.gaussians)
                     )

@@ -209,3 +209,31 @@ def test_opacity_reset_value_and_refine_pause(fixture_scene):
             expected.append(s)
             last_reset = s  # reset_alpha_every=1: every refine resets
     assert calls == expected, (calls, expected, pause)
+
+
+def test_no_opacity_reset_on_final_step(fixture_scene):
+    """A run whose length lands exactly on an opacity-reset boundary must NOT
+    reset on its final step: the evaluated/checkpointed model would have every
+    opacity clamped to 2x the cull threshold with no recovery steps (the
+    r2 benchmark ceiling bug — all draft-length evals capped at ~17.5 dB)."""
+    scene = fixture_scene
+    cfg = sf.SplatfactoConfig(
+        blur_samples=0, sh_degree=1, tile_size=8, max_per_tile=64,
+        max_tiles_per_gaussian=16, chunk=16, warmup_length=2,
+        refine_every=5, reset_alpha_every=2, stop_split_at=1000,
+        cull_alpha_thresh=0.1,
+    )
+    # max_steps = 10 = a reset boundary (2 resets-worth of refines)
+    tc = tr.TrainerConfig(max_steps=10, seed=0)
+    t = tr.Trainer(scene, cfg, tc)
+    t.run(10)
+    import jax
+
+    g = t.params.gaussians
+    op = np.asarray(jax.nn.sigmoid(g.opacities_logit))[np.asarray(g.alive) > 0]
+    clamp = 2 * cfg.cull_alpha_thresh
+    frac_clamped = float((np.abs(op - clamp) < 1e-4).mean())
+    assert frac_clamped < 0.9, (
+        f"final-step opacity reset fired: {frac_clamped:.0%} of opacities at "
+        f"the {clamp} clamp"
+    )
