@@ -43,12 +43,18 @@ enable_compilation_cache()
 
 BASELINE_MRAYS = 200.0
 
+import os
+
 N_GAUSS = 100_000
 RES = 1024
 BLUR_SAMPLES = 5
 TILE = 16
 MAX_PER_TILE = 256
 MAX_TILES_PER_GAUSSIAN = 8
+# Sorted-entry-stream capacity (ops.tiling max_total_entries): bounds the
+# per-row-costed gathers to the sorted prefix. 0 = off (N*M = 800k rows).
+# The bench asserts entry_overflow == 0 at the chosen cap before timing.
+MAX_TOTAL_ENTRIES = int(os.environ.get("SPLAT_TPU_BENCH_MTE", "0"))
 ITERS = 8
 
 
@@ -74,6 +80,27 @@ def main():
     exposure = 0.06
     eps = jnp.linspace(-0.5, 0.5, BLUR_SAMPLES) * exposure
 
+    if MAX_TOTAL_ENTRIES:
+        # capacity sanity: the cap must not drop real entries
+        from splat_tpu.ops import tiling as _tiling
+
+        proj0 = projection.project_gaussians(
+            means, scales, quats, jnp.eye(3), jnp.zeros(3),
+            fx, fx, RES / 2, RES / 2, RES, RES,
+            lin_vel=lin_vel, ang_vel=ang_vel,
+        )
+        op_eff0 = opac * proj0.compensations * proj0.valid.astype(jnp.float32)
+        lists0 = _tiling.build_tile_lists(
+            proj0.means2d, proj0.extents, proj0.depths, proj0.valid, RES, RES,
+            TILE, MAX_PER_TILE, MAX_TILES_PER_GAUSSIAN,
+            radius_pad=jnp.max(jnp.abs(proj0.pix_vels), axis=-1)
+            * (jnp.max(jnp.abs(eps)) + 0.015),
+            conics=proj0.conics, opacities=op_eff0,
+            materialize_indices=False, max_total_entries=MAX_TOTAL_ENTRIES,
+        )
+        ovf = int(lists0.entry_overflow)
+        assert ovf == 0, f"MAX_TOTAL_ENTRIES={MAX_TOTAL_ENTRIES} drops {ovf} entries"
+
     def loss_fn(means, colors, opac):
         proj = projection.project_gaussians(
             means, scales, quats, jnp.eye(3), jnp.zeros(3),
@@ -86,6 +113,7 @@ def main():
             max_per_tile=MAX_PER_TILE,
             max_tiles_per_gaussian=MAX_TILES_PER_GAUSSIAN,
             impl="pallas",
+            max_total_entries=MAX_TOTAL_ENTRIES,
             reduce="mean",  # linear-space blur average (Appendix B.4)
         )
         return jnp.mean(out.rgb ** 2) + jnp.mean(out.alpha)

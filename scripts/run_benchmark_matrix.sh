@@ -41,12 +41,14 @@ python cli/train.py --dataset synthetic-rs \
     --variants baseline,rolling_shutter,rolling_shutter-velocity_opt,rolling_shutter-velocity_opt-zero_init \
     --draft --no-render -- "${EXTRA[@]}"
 
-# corrupted-velocity-prior rows: the prior is wrong by construction, so
-# velocity optimization must beat the fixed-prior parent (VERDICT r2 #6)
+# corrupted-velocity-prior rows (scene0): the prior is wrong by construction,
+# so velocity optimization must beat the fixed-prior parent (VERDICT r2 #6)
+for case in 1 2 3 4; do
 python cli/train.py --dataset synthetic-mb-velnoise \
     --input-dir "$OUT/inputs" --output-dir "$OUT/outputs" \
     --variants baseline,motion_blur,motion_blur-velocity_opt,motion_blur-velocity_opt-zero_init \
-    --draft --no-render -- "${EXTRA[@]}"
+    --case "$case" --draft --no-render -- "${EXTRA[@]}"
+done
 
 python cli/parse_outputs.py --input-dir "$OUT/outputs" --csv benchmarks/synthetic_matrix.csv
 python cli/parse_outputs.py --input-dir "$OUT/outputs" --by-variant | tee benchmarks/synthetic_matrix.txt

@@ -393,3 +393,32 @@ def test_derive_velnoise(tmp_path):
     dst2 = tmp_path / "vn2" / "scene0"
     derive_velnoise(src, dst2, seed=4)
     assert (dst2 / "transforms.json").read_text() == (dst / "transforms.json").read_text()
+
+
+def test_export_gaussian_splat_ply(fit_run):
+    """cli/export.py writes the standard 3DGS binary PLY (ns-export
+    gaussian-splat equivalent): header/property layout, alive-count rows,
+    crop + min-opacity filters."""
+    import export as export_cli
+
+    run_root = fit_run / "testds" / "baseline" / "scene" / "splatfacto"
+    config = sorted(run_root.glob("*/config.json"))[0]
+    out = fit_run / "model.splat.ply"
+    export_cli.main(["--load-config", str(config), "--output", str(out)])
+
+    data = out.read_bytes()
+    head, _, body = data.partition(b"end_header\n")
+    head = head.decode()
+    assert "format binary_little_endian 1.0" in head
+    n = int([l for l in head.splitlines() if l.startswith("element vertex")][0].split()[-1])
+    props = [l.split()[-1] for l in head.splitlines() if l.startswith("property")]
+    for p in ("x", "f_dc_0", "f_rest_0", "opacity", "scale_0", "rot_3"):
+        assert p in props, p
+    rec = np.frombuffer(body, "<f4").reshape(n, len(props))
+    assert n > 0 and np.all(np.isfinite(rec))
+
+    # crop to an impossible box -> 0 splats, still a valid file
+    out2 = fit_run / "cropped.ply"
+    export_cli.main(["--load-config", str(config), "--output", str(out2),
+                     "--crop", "100", "101", "100", "101", "100", "101"])
+    assert b"element vertex 0" in out2.read_bytes().partition(b"end_header\n")[0]
