@@ -32,6 +32,7 @@ label { display:block; margin-top:4px; }
   <div>drag: orbit &middot; wheel: zoom</div>
   <label>exposure <input id="exp" type="range" min="0" max="0.5" step="0.01" value="0"></label>
   <label>rolling shutter <input id="rs" type="range" min="0" max="0.1" step="0.005" value="0"></label>
+  <div><a href="/export.ply" download style="color:#8cf">download .ply (3DGS)</a></div>
   <div id="stat"></div>
 </div>
 <script>
@@ -180,6 +181,44 @@ def make_handler(state: ViewerState):
                 self.send_header("Content-Length", str(len(png)))
                 self.end_headers()
                 self.wfile.write(png)
+            elif url.path == "/export.ply":
+                # ns-export gaussian-splat equivalent, live from the current
+                # params (works mid-training); optional crop/min-opacity via
+                # ?xmin=..&xmax=..&...&minop=..
+                import io
+                import tempfile
+
+                import jax
+
+                import export as export_cli
+
+                q = parse_qs(url.query)
+                g = state.trainer.params.gaussians
+                keep = np.asarray(g.alive) > 0
+                minop = float(q.get("minop", [0])[0])
+                if minop > 0:
+                    keep &= np.asarray(jax.nn.sigmoid(g.opacities_logit)) >= minop
+                means = np.asarray(g.means)
+                axes = ("x", "y", "z")
+                if all(f"{a}{m}" in q for a in axes for m in ("min", "max")):
+                    lo = np.array([float(q[f"{a}min"][0]) for a in axes])
+                    hi = np.array([float(q[f"{a}max"][0]) for a in axes])
+                    keep &= np.all((means >= lo) & (means <= hi), axis=1)
+                with tempfile.NamedTemporaryFile(suffix=".ply") as f:
+                    export_cli.export_ply(
+                        f.name, means[keep],
+                        np.asarray(g.scales_log)[keep],
+                        np.asarray(g.quats)[keep],
+                        np.asarray(g.opacities_logit)[keep],
+                        np.asarray(g.features_dc)[keep],
+                        np.asarray(g.features_rest)[keep],
+                    )
+                    body = Path(f.name).read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self.send_response(404)
                 self.end_headers()

@@ -275,6 +275,10 @@ def test_viewer_render_route(fit_run):
             timeout=300,
         ).read()
         assert png[:4] == b"\x89PNG", png[:16]
+        ply = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/export.ply", timeout=300
+        ).read()
+        assert ply.startswith(b"ply\nformat binary_little_endian")
     finally:
         server.shutdown()
 
