@@ -31,8 +31,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 VARIANTS = {
     "clear": (0.0, 0.0),
     "mb": (0.12, 0.0),
-    "rs": (0.0, 0.04),
-    "mbrs": (0.12, 0.04),
+    # rs 0.07 s readout: at the suite's shake rates (~0.45 rad/s) this gives
+    # ~18 px of scanline skew — severity comparable to the mb variants'
+    # exposure blur (sharp-vs-distorted ~25 dB), so the RS-compensation
+    # ordering margin is as resolvable as the MB one. 0.04 measured too mild
+    # (~30 dB severity on scene0).
+    "rs": (0.0, 0.07),
+    "mbrs": (0.12, 0.07),
 }
 
 # Per-scene trajectory: handheld-style rotational shake of increasing

@@ -143,7 +143,9 @@ def render_frame_gt(
     trajectory (not the first-order model the training-time renderer uses), with
     rolling shutter applied via screen velocities at each sub-frame."""
     bg = jnp.asarray(background, jnp.float32)
-    ts = [0.0] if (exposure == 0.0 and n_samples <= 1) else list(
+    # zero exposure -> a single sample regardless of n_samples (RS skew is
+    # applied inside the rasterizer; integrating identical samples is waste)
+    ts = [0.0] if exposure == 0.0 else list(
         np.linspace(-exposure / 2, exposure / 2, max(n_samples, 1))
     )
     acc = None
