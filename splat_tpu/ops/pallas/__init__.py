@@ -25,6 +25,9 @@ import numpy as np
 # XLA materializes the (L, 16) row-gather and the (T, K, 16) slot-slice as
 # separate contiguous buffers instead of one fused strided-write gather.
 _GATHER_BARRIER = _os.environ.get("SPLAT_TPU_GATHER_BARRIER", "0") != "0"
+# A/B knob: fetch the dense per-tile parameter blocks with an in-kernel DMA
+# copy (seg_copy.py) instead of the XLA T*K-row gather.
+_SEG_DMA = _os.environ.get("SPLAT_TPU_SEG_DMA", "0") != "0"
 
 from .. import tiling
 from ..projection import ProjectedGaussians
@@ -144,6 +147,12 @@ def _gather_table(table, sorted_ids, starts, entry_slots, max_per_tile, k_pad):
     if _GATHER_BARRIER:
         sp = jax.lax.optimization_barrier(sp)
     sp = jnp.concatenate([sp, jnp.zeros((k_pad, sp.shape[1]), sp.dtype)], axis=0)
+    if _SEG_DMA:
+        # in-kernel DMA: one async copy per tile of its contiguous row slice
+        # (BASELINE.md's named experiment; A/B vs the XLA T*K-row gather)
+        from .seg_copy import seg_copy
+
+        return seg_copy(sp, starts, k_pad, starts.shape[0])
     pos = starts[:, None] + jnp.arange(k_pad, dtype=jnp.int32)[None, :]
     out = jnp.take(sp, pos, axis=0)                         # (T, K_pad, 16)
     if _GATHER_BARRIER:

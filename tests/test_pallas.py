@@ -311,3 +311,66 @@ def test_layouts_fused_forward_and_grads_match_jnp(layout):
     )
     assert r.returncode == 0, f"layout {layout}:\n{r.stdout}\n{r.stderr}"
     assert f"LAYOUT_OK {layout}" in r.stdout
+
+
+def test_seg_dma_gather_matches_xla_gather():
+    """SPLAT_TPU_SEG_DMA=1 (in-kernel DMA per-tile parameter fetch,
+    ops/pallas/seg_copy.py) must reproduce the XLA-gather path exactly —
+    raw copy AND the full fused pipeline (values + grads). Env is read at
+    import time -> subprocess."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    code = f"""
+import os, sys
+os.environ["SPLAT_TPU_SEG_DMA"] = "1"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {str(repo)!r})
+import jax.numpy as jnp
+import numpy as np
+from splat_tpu.ops.pallas.seg_copy import seg_copy
+rng = np.random.default_rng(0)
+L, P, T, K = 1000, 16, 12, 128
+sp = jnp.asarray(rng.normal(size=(L + K, P)).astype(np.float32))
+starts = jnp.asarray(np.sort(rng.integers(0, L, size=T)).astype(np.int32))
+got = seg_copy(sp, starts, K, T)
+want = jnp.take(sp, starts[:, None] + jnp.arange(K)[None, :], axis=0)
+np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+from splat_tpu.ops import projection, rasterize
+n, w, h = 100, 32, 24
+means = rng.normal(size=(n,3)) * np.array([.45,.4,.8]) + np.array([0,0,4.])
+scales = np.exp(rng.normal(size=(n,3))*.35)*.12
+q = rng.normal(size=(n,4)); q /= np.linalg.norm(q,axis=-1,keepdims=True)
+colors = jnp.asarray(rng.uniform(size=(n,3)).astype(np.float32))
+opac = jnp.asarray(rng.uniform(.3,.95,size=(n,)).astype(np.float32))
+proj = projection.project_gaussians(jnp.asarray(means,jnp.float32),
+    jnp.asarray(scales,jnp.float32), jnp.asarray(q,jnp.float32),
+    jnp.eye(3), jnp.zeros(3), 40., 40., 16., 12., w, h,
+    lin_vel=jnp.array([.5,-.3,.2]), ang_vel=jnp.array([.1,.15,-.1]))
+kw = dict(tile_size=8, max_per_tile=128, max_tiles_per_gaussian=16,
+          rolling_shutter_time=.03)
+eps = jnp.array([-.04, 0., .05])
+def f(impl, m):
+    p = proj._replace(means2d=m)
+    out = rasterize.rasterize_fused(p, colors, opac, w, h,
+        jnp.array([.1,.2,.3]), eps=eps, impl=impl, chunk=16, **kw)
+    return jnp.mean(out.rgb**2), out.rgb
+(_, img_p), g_p = jax.value_and_grad(f, argnums=1, has_aux=True)("pallas", proj.means2d)
+(_, img_j), g_j = jax.value_and_grad(f, argnums=1, has_aux=True)("jnp", proj.means2d)
+np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_j), atol=1e-4)
+np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j), atol=2e-4, rtol=1e-3)
+print("SEG_DMA_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=900,
+        env={k: v for k, v in __import__("os").environ.items()
+             if k != "SPLAT_TPU_SEG_DMA"},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SEG_DMA_OK" in r.stdout
