@@ -149,3 +149,30 @@ def test_adaptive_probe_on_scan_driver(dense_scene):
     t = tr.Trainer(dense_scene, mc, tc)
     t.run(24)
     assert t.model_config.max_per_tile > 32
+
+
+def test_stream_capacity_grows_before_binding(dense_scene):
+    """max_total_entries growth: a deliberately tiny sorted-stream capacity
+    must be grown by the refine-boundary probe BEFORE it can bind (80%
+    pressure rule), with the step functions rebuilt at the new cap."""
+    import dataclasses
+
+    from splat_tpu.engine import trainer as tr
+    from splat_tpu.models import splatfacto as sf
+
+    cfg = sf.SplatfactoConfig(
+        blur_samples=2, sh_degree=1, tile_size=8, max_per_tile=64,
+        max_tiles_per_gaussian=16, chunk=16, warmup_length=2,
+        refine_every=5, reset_alpha_every=1000,
+        max_total_entries=64,   # tiny: real entry count far exceeds this
+    )
+    t = tr.Trainer(dense_scene, cfg, tr.TrainerConfig(max_steps=12, seed=0))
+    t.run(12)
+    grown = t.model_config.max_total_entries
+    assert grown > 64, f"stream capacity did not grow (still {grown})"
+    # the probe's landed-entry count must now fit under 80% of the cap
+    import numpy as np
+
+    counts = np.asarray(t._binning_probe_fn()(t.params, t._probe_cam))
+    landed = int(np.minimum(counts, t.model_config.max_per_tile).sum())
+    assert landed <= 0.8 * grown
