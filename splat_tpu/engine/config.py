@@ -32,7 +32,11 @@ class RunConfig:
     timestamp: str = ""
     max_num_iterations: int = 20000
     steps_per_save: int = 5000
-    steps_per_eval: int = 2000
+    # 0 = evaluate only at the end of training. Mid-run eval cadence is
+    # opt-in (--steps-per-eval N): each eval costs ~45-60 s of wall over this
+    # box's remote tunnel (render compile + per-image dispatches), which
+    # dominates short benchmark runs.
+    steps_per_eval: int = 0
     vis: str = "none"                 # none | viewer (live browser viewer)
     viewer_port: int = 7007
     seed: int = 42
