@@ -115,3 +115,56 @@ if __name__ == "__main__":
         print("allclose:", bool(jnp.allclose(out_a, out_b)))
     except Exception as e:
         print("check failed:", str(e)[:200])
+
+
+# --- C: aligned-floor DMA + in-VMEM shift. If Mosaic rejects only the
+# UNALIGNED dynamic source offset, flooring the start to an 8/32-row boundary
+# and slicing the remainder inside VMEM may compile.
+def dma_kernel_al(starts_ref, src_ref, out_ref, scratch, sem, *, tps, align):
+    t0 = pl.program_id(0) * tps
+    for b in range(tps):
+        st = starts_ref[t0 + b]
+        fl = (st // align) * align
+        pltpu.make_async_copy(
+            src_ref.at[pl.ds(fl, K + align), :], scratch.at[b], sem.at[b]
+        ).start()
+    for b in range(tps):
+        st = starts_ref[t0 + b]
+        fl = (st // align) * align
+        pltpu.make_async_copy(
+            src_ref.at[pl.ds(fl, K + align), :], scratch.at[b], sem.at[b]
+        ).wait()
+        out_ref[b] = scratch[b, pl.ds(st - fl, K), :]
+
+
+def pallas_dma_aligned(src, starts, tps, align):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // tps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((tps, K, P), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tps, K + align, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((tps,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(dma_kernel_al, tps=tps, align=align),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, K, P), jnp.float32),
+    )(starts, src)
+
+
+def run_variant_c():
+    for align in (8, 32, 128):
+        for tps in (4,):
+            try:
+                timeit(f"C aligned-floor DMA align={align}",
+                       lambda s, st, _t=tps, _a=align: pallas_dma_aligned(s, st, _t, _a),
+                       src, starts_j)
+                out_a = xla_gather(src, starts_j)
+                out_c = pallas_dma_aligned(src, starts_j, 4, align)
+                print(f"  C align={align} allclose:", bool(jnp.allclose(out_a, out_c)))
+            except Exception as e:
+                print(f"C align={align} FAILED: {type(e).__name__}: {str(e)[:200]}")

@@ -17,13 +17,12 @@ waiting on tile b's.
 
 MEASURED VERDICT (round 3, v5e via the remote tunnel): exact in interpret
 mode (tests/test_pallas.py::test_seg_dma_gather_matches_xla_gather), but the
-REAL-TPU Mosaic compile rejects the dynamic-offset DMA from the ANY-space
-source (remote_compile HTTP 500 at every tiles-per-step; the round-1 attempt
-hit the same wall — Mosaic wants aligned offsets, sorted segments start
-unaligned). scripts_dev/probe_seg_dma.py reproduces. Chunk-padding every
-tile segment to 128 rows in the sorted stream would align the offsets but
-costs an extra L-row relayout gather — the very cost being attacked. Kept
-as an env-gated documented dead end; the XLA gather path stays default.
+REAL-TPU Mosaic compile rejects the kernel (remote_compile HTTP 500) at
+every tiles-per-step AND with the source offset floored to 8/32/128-row
+alignment (probe variant C) — so the blocker is the dynamic-offset async
+copy out of an ANY-space ref in this jax/Mosaic build, not offset
+alignment. scripts_dev/probe_seg_dma.py reproduces both. Kept as an
+env-gated documented dead end; the XLA gather path stays default.
 """
 from __future__ import annotations
 
