@@ -13,7 +13,7 @@ VARIANT=${VARIANT:-motion_blur}
 ITERS=${ITERS:-20000}
 OUT=${OUT:-data/bench/outputs_full}
 EXTRA=(--trainer.scan-steps 25 --trainer.sync-every 50
-       --pipeline.model.initial-capacity 8192
+       --pipeline.model.initial-capacity 16384
        --trainer.max-capacity 32768
        --pipeline.model.max-tiles-per-gaussian 16
        --steps-per-eval 2000)

@@ -426,3 +426,24 @@ def test_export_gaussian_splat_ply(fit_run):
     export_cli.main(["--load-config", str(config), "--output", str(out2),
                      "--crop", "100", "101", "100", "101", "100", "101"])
     assert b"element vertex 0" in out2.read_bytes().partition(b"end_header\n")[0]
+
+
+def test_check_benchmark_ordering_zero_init_margin():
+    """zero_init variants (priors discarded, motion learned from scratch)
+    owe the reduced zero-init margin, not the full prior-informed margin —
+    but must still beat baseline."""
+    sys.path.insert(0, str(REPO / "cli"))
+    from check_benchmark_ordering import check
+
+    rows = [
+        {"dataset": "synthetic-rs", "session": "s", "variant": v, "psnr": p}
+        for v, p in [
+            ("baseline", 21.3),
+            ("rolling_shutter", 22.4),                       # full margin ok
+            ("rolling_shutter-velocity_opt-zero_init", 21.7) # partial recovery
+        ]
+    ]
+    assert check(rows, margin=1.0, vel_tol=0.5) == []
+    # below baseline -> still a failure
+    rows[-1]["psnr"] = 21.0
+    assert len(check(rows, margin=1.0, vel_tol=0.5)) == 1
