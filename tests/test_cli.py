@@ -447,3 +447,26 @@ def test_check_benchmark_ordering_zero_init_margin():
     # below baseline -> still a failure
     rows[-1]["psnr"] = 21.0
     assert len(check(rows, margin=1.0, vel_tol=0.5)) == 1
+
+
+def test_metrics_time_split_contract(fit_run):
+    """metrics.json separates compile from training wall clock (VERDICT r2:
+    the benchmark `time` column must be a training-time contract like the
+    reference's wall_clock_time_seconds, train.py:192-196)."""
+    run_root = fit_run / "testds" / "baseline" / "scene" / "splatfacto"
+    m = json.loads(next(run_root.glob("*/metrics.json")).read_text())
+    assert {"wall_clock_time_seconds", "compile_time_seconds",
+            "train_time_seconds"} <= set(m)
+    assert m["compile_time_seconds"] >= 0
+    assert abs(
+        m["wall_clock_time_seconds"]
+        - m["compile_time_seconds"] - m["train_time_seconds"]
+    ) < 1e-6
+
+    import parse_outputs
+
+    rows = parse_outputs.find_and_parse_directories_containing_splatting_metrics(fit_run)
+    r = rows[0]
+    assert r["time"] == m["train_time_seconds"]
+    assert r["compile_time"] == m["compile_time_seconds"]
+    assert r["wall_time"] == m["wall_clock_time_seconds"]
