@@ -50,7 +50,16 @@ RES = 1024
 BLUR_SAMPLES = 5
 TILE = 16
 MAX_PER_TILE = 256
-MAX_TILES_PER_GAUSSIAN = 8
+# Footprint cap aligned with the TRAINING default (splatfacto.py
+# max_tiles_per_gaussian=16) so the headline number is traceable to a
+# training configuration (VERDICT r3 weak #6); override for A/B.
+MAX_TILES_PER_GAUSSIAN = int(os.environ.get("SPLAT_TPU_BENCH_MTG", "16"))
+# fused (default): ONE projection/binning per frame, all S sub-frames
+#   rendered by the screen-velocity warp — this design's hot loop.
+# exact: re-project/re-bin/re-gather per sub-frame at its SE(3)-advanced
+#   pose, like the reference's CUDA loop (reference train.py:22; SURVEY.md
+#   §3.1) — measures the workload-level cost the fusion amortizes away.
+MODE = os.environ.get("SPLAT_TPU_BENCH_MODE", "fused")
 # Sorted-entry-stream capacity (ops.tiling max_total_entries): bounds the
 # per-row-costed gathers to the sorted prefix. 0 = off (N*M = 800k rows).
 # The bench asserts entry_overflow == 0 at the chosen cap before timing.
@@ -101,7 +110,7 @@ def main():
         ovf = int(lists0.entry_overflow)
         assert ovf == 0, f"MAX_TOTAL_ENTRIES={MAX_TOTAL_ENTRIES} drops {ovf} entries"
 
-    def loss_fn(means, colors, opac):
+    def loss_fn_fused(means, colors, opac):
         proj = projection.project_gaussians(
             means, scales, quats, jnp.eye(3), jnp.zeros(3),
             fx, fx, RES / 2, RES / 2, RES, RES,
@@ -117,6 +126,38 @@ def main():
             reduce="mean",  # linear-space blur average (Appendix B.4)
         )
         return jnp.mean(out.rgb ** 2) + jnp.mean(out.alpha)
+
+    def loss_fn_exact(means, colors, opac):
+        # the reference's per-sub-frame hot loop: S x (project + sort/bin +
+        # gather + composite + grad-scatter), then the linear-space average
+        from splat_tpu.ops import se3
+
+        acc_rgb = jnp.zeros((RES, RES, 3))
+        acc_alpha = jnp.zeros((RES, RES))
+        for s in range(BLUR_SAMPLES):
+            Rt, pt = se3.se3_advance_c2w(
+                jnp.eye(3), jnp.zeros(3), lin_vel, ang_vel, eps[s]
+            )
+            R_cw = Rt.T
+            t_cw = -R_cw @ pt
+            proj = projection.project_gaussians(
+                means, scales, quats, R_cw, t_cw,
+                fx, fx, RES / 2, RES / 2, RES, RES,
+                lin_vel=lin_vel, ang_vel=ang_vel,
+            )
+            out = rasterize.rasterize(
+                proj, colors, opac, RES, RES, jnp.zeros(3),
+                rolling_shutter_time=0.03, tile_size=TILE,
+                max_per_tile=MAX_PER_TILE,
+                max_tiles_per_gaussian=MAX_TILES_PER_GAUSSIAN,
+                impl="pallas",
+                max_total_entries=MAX_TOTAL_ENTRIES,
+            )
+            acc_rgb = acc_rgb + out.rgb / BLUR_SAMPLES
+            acc_alpha = acc_alpha + out.alpha / BLUR_SAMPLES
+        return jnp.mean(acc_rgb ** 2) + jnp.mean(acc_alpha)
+
+    loss_fn = loss_fn_exact if MODE == "exact" else loss_fn_fused
 
     @jax.jit
     def bench(means):
@@ -151,6 +192,8 @@ def main():
                     "blur_samples": BLUR_SAMPLES,
                     "tile_size": TILE,
                     "max_per_tile": MAX_PER_TILE,
+                    "max_tiles_per_gaussian": MAX_TILES_PER_GAUSSIAN,
+                    "mode": MODE,
                     "step_ms": round(dt * 1e3, 3),
                     "compile_s": round(compile_s, 1),
                     "backend": jax.default_backend(),

@@ -139,10 +139,19 @@ def find_sessions(input_root: Path, dataset: str) -> list[Path]:
 
 
 def find_config_path(out_dir: Path) -> Path:
-    """Exactly one trained config per output dir (reference train.py:203-214)."""
+    """One trained config per output dir is the contract (reference
+    train.py:203-214), but a re-run appends a second timestamp dir — pick the
+    NEWEST with a warning instead of crashing after a full training run."""
     configs = sorted(out_dir.glob("*/config.json"))
-    assert len(configs) == 1, f"expected exactly 1 run in {out_dir}, found {len(configs)}"
-    return configs[0]
+    assert configs, f"no trained run found in {out_dir}"
+    if len(configs) > 1:
+        print(
+            f"warning: {len(configs)} runs in {out_dir}; using newest "
+            f"{configs[-1].parent.name} (the reference expects one run per "
+            f"dir — older timestamp dirs are stale re-runs)",
+            file=sys.stderr, flush=True,
+        )
+    return configs[-1]
 
 
 def process(session_dir: Path, dataset: str, features: set, args) -> None:

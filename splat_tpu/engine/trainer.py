@@ -390,6 +390,10 @@ class Trainer:
         called at init and again whenever the config changes mid-run (adaptive
         tile capacity). Optimizer/strategy STATE is untouched: only the traced
         programs are refreshed."""
+        # monotone rebuild counter keys dispatch stats: id(fn) can be reused
+        # by CPython after a rebuild frees the old closure, which would merge
+        # two distinct compiled programs' stats (skewing the compile split)
+        self._rebuild_count = getattr(self, "_rebuild_count", -1) + 1
         cfg, tc = self.model_config, self.trainer_config
         if self.mesh is not None:
             sh_mod = self._sharding
@@ -443,19 +447,24 @@ class Trainer:
         cam = getattr(self, "_probe_cam", None)
         if not tc.adapt_tile_capacity or cam is None:
             return False
-        if cfg.max_per_tile >= tc.max_tile_capacity:
-            return False
         counts = np.asarray(self._binning_probe_fn()(self.params, cam))
         total = max(int(counts.sum()), 1)
         over = int(np.maximum(counts - cfg.max_per_tile, 0).sum())
+        # surfaced in training logs/history: a silently binding cap is the
+        # failure mode this probe exists to prevent
+        self._tile_overflow_frac = over / total
 
         # sorted-entry-stream capacity (max_total_entries): grow BEFORE it
         # saturates — unlike max_per_tile overflow (drops the deepest,
         # most-occluded entries) the stream cap drops whole high-tile-id
         # segments, so it must never actually bind. Grow at 80% pressure.
+        # Runs BEFORE the max_per_tile ceiling early-return below: the stream
+        # cap is independent of per-tile capacity and must keep adapting even
+        # once max_per_tile is pinned at its ceiling.
         grew_stream = False
         if cfg.max_total_entries > 0:
             landed = int(np.minimum(counts, cfg.max_per_tile).sum())
+            self._entry_stream_pressure = landed / cfg.max_total_entries
             if landed > 0.8 * cfg.max_total_entries:
                 new_cap = cfg.max_total_entries
                 while landed > 0.8 * new_cap:
@@ -463,6 +472,11 @@ class Trainer:
                 cfg = dataclasses.replace(cfg, max_total_entries=new_cap)
                 self.model_config = cfg
                 grew_stream = True
+
+        if cfg.max_per_tile >= tc.max_tile_capacity:
+            if grew_stream:
+                self._build_step_fns()
+            return grew_stream
 
         if over <= tc.tile_overflow_tol * total:
             self._overflow_streak = 0
@@ -601,8 +615,12 @@ class Trainer:
         cfg, tc = self.model_config, self.trainer_config
         n_train = len(self.train_cams)
         steps = max_steps if max_steps is not None else tc.max_steps
-        self._order = None
-        self._cam_cursor = self.step * self.data_batch
+        # Preserve the sampling stream across run() chunks and checkpoint
+        # resume: re-drawing the epoch permutation at every chunk start would
+        # make chunked/resumed training diverge from an uninterrupted run.
+        self._order = getattr(self, "_order", None)
+        if not hasattr(self, "_cam_cursor"):
+            self._cam_cursor = self.step * self.data_batch
         t0 = time.time()
         it = 0
         while it < steps:
@@ -658,7 +676,7 @@ class Trainer:
                 bt = self.timer.times.pop()
                 cap = self.params.gaussians.alive.shape[0]
                 self._record_dispatch(
-                    ("scan", id(self.train_scan), level, block, cap), bt, block
+                    ("scan", self._rebuild_count, level, block, cap), bt, block
                 )
                 self.timer.times.extend([bt / block] * block)
                 loss = losses[-1]
@@ -699,7 +717,7 @@ class Trainer:
                     jax.block_until_ready(loss)
                 self.timer.stop()
                 self._record_dispatch(
-                    ("step", id(self.train_step), level,
+                    ("step", self._rebuild_count, level,
                      self.params.gaussians.alive.shape[0]),
                     self.timer.times[-1], 1,
                 )
@@ -778,6 +796,12 @@ class Trainer:
                     "wall_s": time.time() - t0,
                     **self.timer.summary(last_n=tc.log_every),
                 }
+                if getattr(self, "_tile_overflow_frac", None) is not None:
+                    rec["tile_overflow_frac"] = round(self._tile_overflow_frac, 6)
+                if getattr(self, "_entry_stream_pressure", None) is not None:
+                    rec["entry_stream_pressure"] = round(
+                        self._entry_stream_pressure, 4
+                    )
                 self.history.append(rec)
                 if progress_cb:
                     progress_cb(rec)
@@ -791,7 +815,7 @@ class Trainer:
         )
         jax.block_until_ready(s)
         self._record_dispatch(
-            ("refine", id(self.refine), g.alive.shape[0]),
+            ("refine", self._rebuild_count, g.alive.shape[0]),
             time.perf_counter() - t0, 0,
         )
         self.strat_state = s
@@ -844,7 +868,32 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------ checkpoint
+    def _sampling_state(self) -> dict:
+        """Camera-sampling stream state: the PRNG key plus the current epoch
+        permutation and cursor. Saved so a resumed run consumes the SAME
+        camera/key sequence as an uninterrupted one."""
+        n = len(self.train_cams)
+        order = getattr(self, "_order", None)
+        return {
+            "key": self.key,
+            "cam_order": jnp.asarray(
+                order if order is not None else np.full(n, -1), jnp.int32
+            ),
+            "cam_cursor": jnp.asarray(
+                getattr(self, "_cam_cursor", self.step * self.data_batch)
+            ),
+            "last_reset_step": jnp.asarray(
+                self._last_reset_step if self._last_reset_step > -(10**9) else -1,
+                jnp.int32,
+            ),
+        }
+
     def save_checkpoint(self, path: str | Path):
+        """Full training state: params AND optimizer (Adam moments + schedule
+        counts), densification-strategy accumulators, and the camera-sampling
+        stream — so save -> load -> train continues the training trajectory
+        (SURVEY.md §5 checkpoint/resume; the reference's nerfstudio
+        checkpoints optimizers with the model)."""
         import orbax.checkpoint as ocp
 
         path = Path(path).absolute()
@@ -857,7 +906,12 @@ class Trainer:
             "eval_camera_opt": self.params.eval_camera_opt,
             "eval_velocity_opt": self.params.eval_velocity_opt,
             "step": jnp.asarray(self.step),
+            "opt_state": self.opt_state,
+            "strat_state": self.strat_state._asdict(),
+            "sampling": self._sampling_state(),
         }
+        if self.eval_opt_state is not None:
+            state["eval_opt_state"] = self.eval_opt_state
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
 
@@ -867,9 +921,13 @@ class Trainer:
         path = Path(path).absolute()
         ckptr = ocp.StandardCheckpointer()
         # Adapt to the stored Gaussian capacity (densification may have grown
-        # it past this trainer's initial capacity).
+        # it past this trainer's initial capacity). Also detect which optional
+        # state groups the checkpoint carries (round-3 checkpoints hold
+        # params+step only; current ones add optimizer/strategy/sampling).
+        stored_keys: set[str] = set()
         try:
             meta = ckptr.metadata(path)
+            stored_keys = set(meta.item_metadata.tree.keys())
             stored_cap = meta.item_metadata.tree["gaussians"]["means"].shape[0]
         except Exception:
             stored_cap = self.params.gaussians.alive.shape[0]
@@ -899,6 +957,14 @@ class Trainer:
             "eval_velocity_opt": self.params.eval_velocity_opt,
             "step": jnp.asarray(self.step),
         }
+        if "opt_state" in stored_keys:
+            template["opt_state"] = self.opt_state
+        if "strat_state" in stored_keys:
+            template["strat_state"] = self.strat_state._asdict()
+        if "sampling" in stored_keys:
+            template["sampling"] = self._sampling_state()
+        if "eval_opt_state" in stored_keys and self.eval_opt_state is not None:
+            template["eval_opt_state"] = self.eval_opt_state
         state = ckptr.restore(path, template)
         self.params = self.params._replace(
             gaussians=sf.GaussianParams(**state["gaussians"]),
@@ -909,19 +975,34 @@ class Trainer:
             eval_velocity_opt=state["eval_velocity_opt"],
         )
         self.step = int(state["step"])
+        if "opt_state" in state:
+            self.opt_state = state["opt_state"]
+        if "strat_state" in state:
+            self.strat_state = st.StrategyState(**state["strat_state"])
+        if "eval_opt_state" in state and self.eval_opt_state is not None:
+            self.eval_opt_state = state["eval_opt_state"]
+        if "sampling" in state:
+            s = state["sampling"]
+            self.key = s["key"]
+            order = np.asarray(s["cam_order"])
+            self._order = None if (order < 0).any() else order
+            self._cam_cursor = int(s["cam_cursor"])
+            lrs = int(s["last_reset_step"])
+            self._last_reset_step = lrs if lrs >= 0 else -(10**9)
         if self.mesh is not None:
             self.params, self.opt_state, self.strat_state = (
                 self._sharding.place_train_state(
                     self.mesh, self.params, self.opt_state, self.strat_state
                 )
             )
-        # Reconstruct the most recent opacity-reset step (reset steps are a
-        # pure function of the schedule) so a resumed run keeps the
-        # post-reset refine pause without widening the checkpoint tree.
-        cfg = self.model_config
-        interval = cfg.refine_every * max(cfg.reset_alpha_every, 1)
-        if cfg.reset_alpha_every > 0 and self.step >= interval:
-            self._last_reset_step = (self.step // interval) * interval
+        # Legacy (params-only) checkpoints: reconstruct the most recent
+        # opacity-reset step from the schedule so a resumed run keeps the
+        # post-reset refine pause. Full checkpoints restore it exactly above.
+        if "sampling" not in state:
+            cfg = self.model_config
+            interval = cfg.refine_every * max(cfg.reset_alpha_every, 1)
+            if cfg.reset_alpha_every > 0 and self.step >= interval:
+                self._last_reset_step = (self.step // interval) * interval
 
 
 def compute_lpips_suite(preds, gts) -> float | None:

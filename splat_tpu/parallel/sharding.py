@@ -74,15 +74,26 @@ def init_distributed(coordinator_address: str | None = None,
     The already-initialized check must NOT query jax.process_count(): that
     initializes the local backend, after which distributed init can no longer
     take effect (it would then silently run single-process)."""
-    from jax._src import distributed as _dist
+    try:
+        # private API (stable across recent jax, but guarded): the only
+        # already-initialized probe that does not touch the local backend
+        from jax._src import distributed as _dist
 
-    if _dist.global_state.client is not None:
-        return  # distributed runtime already up
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        if _dist.global_state.client is not None:
+            return  # distributed runtime already up
+    except ImportError:
+        pass
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        if coordinator_address is not None or num_processes is not None:
+            raise  # explicit multi-process args: a failure is real
+        # plain single-host call with nothing to auto-detect — keep the
+        # documented no-op contract
 
 
 def make_multihost_mesh(
