@@ -61,9 +61,13 @@ MAX_TILES_PER_GAUSSIAN = int(os.environ.get("SPLAT_TPU_BENCH_MTG", "16"))
 #   §3.1) — measures the workload-level cost the fusion amortizes away.
 MODE = os.environ.get("SPLAT_TPU_BENCH_MODE", "fused")
 # Sorted-entry-stream capacity (ops.tiling max_total_entries): bounds the
-# per-row-costed gathers to the sorted prefix. 0 = off (N*M = 800k rows).
+# per-row-costed gathers to the sorted prefix instead of the N*MTG padded
+# stream. "auto" (default) probes the landed entry count and picks the next
+# power of two with >=25% headroom — the same adaptive policy the trainer
+# uses, so the bench runs the training configuration. 0 = off.
 # The bench asserts entry_overflow == 0 at the chosen cap before timing.
-MAX_TOTAL_ENTRIES = int(os.environ.get("SPLAT_TPU_BENCH_MTE", "0"))
+_mte_env = os.environ.get("SPLAT_TPU_BENCH_MTE", "auto")
+MAX_TOTAL_ENTRIES = -1 if _mte_env == "auto" else int(_mte_env)
 ITERS = 8
 
 
@@ -89,8 +93,9 @@ def main():
     exposure = 0.06
     eps = jnp.linspace(-0.5, 0.5, BLUR_SAMPLES) * exposure
 
+    global MAX_TOTAL_ENTRIES
     if MAX_TOTAL_ENTRIES:
-        # capacity sanity: the cap must not drop real entries
+        # capacity probe/sanity: the cap must not drop real entries
         from splat_tpu.ops import tiling as _tiling
 
         proj0 = projection.project_gaussians(
@@ -102,13 +107,23 @@ def main():
         lists0 = _tiling.build_tile_lists(
             proj0.means2d, proj0.extents, proj0.depths, proj0.valid, RES, RES,
             TILE, MAX_PER_TILE, MAX_TILES_PER_GAUSSIAN,
-            radius_pad=jnp.max(jnp.abs(proj0.pix_vels), axis=-1)
+            radius_pad=jnp.abs(proj0.pix_vels)
             * (jnp.max(jnp.abs(eps)) + 0.015),
             conics=proj0.conics, opacities=op_eff0,
-            materialize_indices=False, max_total_entries=MAX_TOTAL_ENTRIES,
+            materialize_indices=False,
+            max_total_entries=max(MAX_TOTAL_ENTRIES, 0),
         )
-        ovf = int(lists0.entry_overflow)
-        assert ovf == 0, f"MAX_TOTAL_ENTRIES={MAX_TOTAL_ENTRIES} drops {ovf} entries"
+        if MAX_TOTAL_ENTRIES < 0:  # auto: landed entries + >=25% headroom
+            landed = int(lists0.counts.sum())
+            cap = 1 << 17
+            while landed > 0.8 * cap:
+                cap *= 2
+            MAX_TOTAL_ENTRIES = min(cap, N_GAUSS * MAX_TILES_PER_GAUSSIAN)
+        else:
+            ovf = int(lists0.entry_overflow)
+            assert ovf == 0, (
+                f"MAX_TOTAL_ENTRIES={MAX_TOTAL_ENTRIES} drops {ovf} entries"
+            )
 
     def loss_fn_fused(means, colors, opac):
         proj = projection.project_gaussians(

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Full-length (20k-iteration) benchmark matrix — the reference's training
+protocol (reference train.py:129-132, matrix at :246-311) at REFERENCE length
+on the synthetic suite, ordered most-important-first with a wall-clock
+deadline guard so a truncated session still commits the core rows.
+
+Run order (each run ~10-32 min on one v5e chip):
+  1. synthetic-mb    x 3 scenes: baseline, motion_blur       (core MB claim)
+  2. synthetic-rs    x 2 scenes: baseline, rolling_shutter,
+                                 rolling_shutter-velocity_opt (core RS claim)
+  3. synthetic-mb-velnoise scene0: motion_blur,
+                                 motion_blur-velocity_opt    (corrupted prior:
+                                 velocity opt must WIN)
+  4. synthetic-mb    x 3 scenes: motion_blur-pose_opt-velocity_opt (full stack)
+
+Artifacts: benchmarks/full_length_matrix.{csv,txt} + the ordering gate at the
+reference-strength 1.0 dB margin on the full-length table.
+
+Env knobs:
+  DEADLINE_TS   unix epoch seconds — skip runs that would start after this
+  OUT           output root (default data/bench/outputs_full20k)
+  INPUTS        suite dir (default data/bench/inputs; generated if missing)
+  ITERS         iterations (default 20000)
+Resumable: runs whose metrics.json already exists are skipped.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+os.chdir(ROOT)
+
+OUT = os.environ.get("OUT", "data/bench/outputs_full20k")
+INPUTS = os.environ.get("INPUTS", "data/bench/inputs")
+ITERS = int(os.environ.get("ITERS", "20000"))
+DEADLINE = float(os.environ.get("DEADLINE_TS", "0"))
+
+# capacity pinned (one growth max) to avoid minutes-per-compile recompiles on
+# the remote tunnel; 16384/32768 matches the committed round-3 full-length run
+EXTRA = [
+    "--trainer.scan-steps", "25", "--trainer.sync-every", "50",
+    "--pipeline.model.initial-capacity", "16384",
+    "--trainer.max-capacity", "32768",
+    "--pipeline.model.max-tiles-per-gaussian", "16",
+]
+
+# (dataset, variant, scene) in priority order
+RUNS = []
+for scene in ("scene2", "scene0", "scene1"):
+    RUNS += [("synthetic-mb", "baseline", scene),
+             ("synthetic-mb", "motion_blur", scene)]
+for scene in ("scene1", "scene2"):
+    RUNS += [("synthetic-rs", "baseline", scene),
+             ("synthetic-rs", "rolling_shutter", scene),
+             ("synthetic-rs", "rolling_shutter-velocity_opt", scene)]
+RUNS += [("synthetic-mb-velnoise", "motion_blur", "scene0"),
+         ("synthetic-mb-velnoise", "motion_blur-velocity_opt", "scene0")]
+for scene in ("scene2", "scene0", "scene1"):
+    RUNS += [("synthetic-mb", "motion_blur-pose_opt-velocity_opt", scene)]
+
+
+def ensure_suite():
+    if (Path(INPUTS) / "synthetic-mb" / "scene0" / "transforms.json").exists():
+        return
+    print("generating synthetic suite ...", flush=True)
+    subprocess.check_call([
+        sys.executable, "cli/generate_synthetic_suite.py",
+        "--input-dir", INPUTS, "--resolution", "512", "--scenes", "3",
+        "--variants", "mb,rs", "--derive-velnoise",
+    ])
+
+
+def case_index(dataset: str, scene: str) -> int:
+    sessions = sorted(
+        p.parent.name for p in (Path(INPUTS) / dataset).glob("*/transforms.json")
+    )
+    return sessions.index(scene) + 1
+
+
+def run_one(dataset: str, variant: str, scene: str) -> str:
+    run_root = Path(OUT) / dataset / variant / scene / "splatfacto"
+    if list(run_root.glob("*/metrics.json")):
+        return "cached"
+    if DEADLINE and time.time() > DEADLINE:
+        return "skipped (deadline)"
+    cmd = [
+        sys.executable, "cli/train.py", "--dataset", dataset,
+        "--input-dir", INPUTS, "--output-dir", OUT,
+        "--variants", variant, "--case", str(case_index(dataset, scene)),
+        "--iters", str(ITERS), "--no-render", "--", *EXTRA,
+    ]
+    t0 = time.time()
+    r = subprocess.run(cmd)
+    status = "ok" if r.returncode == 0 else f"FAILED rc={r.returncode}"
+    return f"{status} ({time.time() - t0:.0f}s)"
+
+
+def main():
+    ensure_suite()
+    results = {}
+    for dataset, variant, scene in RUNS:
+        key = f"{dataset}/{variant}/{scene}"
+        print(f"=== {key}", flush=True)
+        results[key] = run_one(dataset, variant, scene)
+        print(f"=== {key}: {results[key]}", flush=True)
+        Path("benchmarks").mkdir(exist_ok=True)
+        Path("benchmarks/full_length_matrix_progress.json").write_text(
+            json.dumps(results, indent=2)
+        )
+    subprocess.call([
+        sys.executable, "cli/parse_outputs.py", "--input-dir", OUT,
+        "--csv", "benchmarks/full_length_matrix.csv",
+    ])
+    with open("benchmarks/full_length_matrix.txt", "w") as f:
+        subprocess.call(
+            [sys.executable, "cli/parse_outputs.py", "--input-dir", OUT,
+             "--by-variant"], stdout=f,
+        )
+    rc = subprocess.call([
+        sys.executable, "cli/check_benchmark_ordering.py",
+        "--input-dir", OUT, "--margin", "1.0",
+    ])
+    print(f"ordering gate rc={rc}", flush=True)
+    sys.exit(0 if rc == 0 else 2)
+
+
+if __name__ == "__main__":
+    main()

@@ -447,7 +447,7 @@ def binning_counts(
     comp = (jnp.ones_like(proj.compensations)
             if config.rasterize_mode == "classic" else proj.compensations)
     t_max = jnp.max(jnp.abs(eps)) + 0.5 * jnp.abs(rs)
-    radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * t_max
+    radius_pad = jnp.abs(proj.pix_vels) * t_max  # per-axis motion box
     op_eff = opac * comp * proj.valid.astype(opac.dtype)
     return tiling.tile_population(
         proj.means2d, proj.extents, proj.depths, proj.valid,

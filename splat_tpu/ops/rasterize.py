@@ -211,7 +211,8 @@ def rasterize(
     """
     rs = jnp.asarray(rolling_shutter_time, dtype=colors.dtype)
     # Rolling-shutter screen motion: pad the binning radius by the max |shift|.
-    radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * jnp.abs(rs) * 0.5
+    # per-axis (N, 2) pad: the RS shift is directed along pix_vel
+    radius_pad = jnp.abs(proj.pix_vels) * jnp.abs(rs) * 0.5
 
     op_eff = opacities * proj.compensations * proj.valid.astype(colors.dtype)
     lists = tiling.build_tile_lists(
@@ -303,7 +304,7 @@ def rasterize_fused(
     rs = jnp.asarray(rolling_shutter_time, dtype=colors.dtype)
     # Binning pad: max |screen shift| over the exposure window + readout.
     t_max = jnp.max(jnp.abs(eps)) + 0.5 * jnp.abs(rs)
-    radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * t_max
+    radius_pad = jnp.abs(proj.pix_vels) * t_max  # per-axis motion box
 
     op_eff = opacities * proj.compensations * proj.valid.astype(colors.dtype)
     lists = tiling.build_tile_lists(

@@ -95,7 +95,7 @@ def render_reference(
                              max_tiles_per_gaussian // span_x), 1)
             span = (span_x, span_y)
         rs_abs = jnp.abs(jnp.asarray(rolling_shutter_time, dtype=dtype))
-        radius_pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * rs_abs * 0.5
+        radius_pad = jnp.abs(proj.pix_vels) * rs_abs * 0.5  # per-axis box
         rects, _ = _tiling.gaussian_tile_rects(
             proj.means2d, proj.extents, proj.valid, img_w, img_h, tile_size,
             radius_pad=radius_pad, max_span=span,

@@ -17,6 +17,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     instantly."""
     import jax
 
+    if os.environ.get("SPLAT_TPU_NO_COMPILE_CACHE"):
+        # bypass: jax 0.9's persistent cache raises KeyError('closed_call')
+        # on some precision-mix program variants (BASELINE.md round-3 A/B) —
+        # this knob lets those programs compile uncached instead of crashing
+        return
     path = cache_dir or os.environ.get(
         "SPLAT_TPU_COMPILE_CACHE", "/tmp/splat_tpu_jax_cache"
     )
