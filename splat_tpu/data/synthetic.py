@@ -101,14 +101,40 @@ def shake_pose_gl(t: float, amp: float = 0.06, period: float = 1.3,
     return m
 
 
+def jerk_pose_gl(t: float, amp: float = 0.06, period: float = 0.22,
+                 phases=(0.4, 2.1, 3.7)) -> np.ndarray:
+    """Jerk/handshake-reversal trajectory: rotational shake whose period is
+    COMPARABLE to the exposure, so the angular velocity reverses direction
+    *within* an exposure window. This is where the method's first-order
+    constant-(v, omega) pose model (SURVEY.md Appendix B.2) — shared by the
+    reference's per-sub-frame loop AND the fused warp — is weakest, and the
+    scene class that tests whether the fused-anchor auto-resolution
+    (models/splatfacto.py:resolve_blur_anchors) stays within its calibration.
+    A second harmonic at 2.3x the base rate sharpens the reversals beyond a
+    pure sinusoid."""
+    base = orbit_pose_gl(t)
+    w = 2 * np.pi / period
+    theta = amp * np.array([
+        np.sin(w * t + phases[0]) + 0.45 * np.sin(2.3 * w * t + phases[1]),
+        np.sin(0.91 * w * t + phases[1]) + 0.45 * np.sin(2.1 * w * t + phases[2]),
+        0.35 * np.sin(1.13 * w * t + phases[2]),
+    ])
+    m = base.copy()
+    m[:3, :3] = base[:3, :3] @ _rotvec_to_matrix(theta)
+    return m
+
+
 def make_trajectory(name: str = "orbit", shake_amp: float = 0.06,
                     shake_period: float = 1.3):
     """Named trajectory -> pose_fn(t)->4x4 GL c2w. 'orbit' is the round-2
-    look-at orbit; 'shake' adds camera-frame rotational shake on top."""
+    look-at orbit; 'shake' adds camera-frame rotational shake on top; 'jerk'
+    is shake with intra-exposure velocity reversal (short period)."""
     if name == "orbit":
         return orbit_pose_gl
     if name == "shake":
         return lambda t: shake_pose_gl(t, amp=shake_amp, period=shake_period)
+    if name == "jerk":
+        return lambda t: jerk_pose_gl(t, amp=shake_amp, period=shake_period)
     raise ValueError(f"unknown trajectory {name!r}")
 
 
