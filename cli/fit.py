@@ -84,9 +84,25 @@ def main(argv=None):
     log_path = run_dir / "metrics_train.jsonl"
     t0 = time.time()
 
+    tb_writer = None
+    if "tensorboard" in (cfg.vis or ""):
+        # standard-format scalar export (reference --vis=tensorboard,
+        # train.py:140); zero-dep tfevents writer, consumable by any
+        # tensorboard-compatible dashboard
+        from splat_tpu.utils.tbevents import TBEventWriter
+
+        tb_writer = TBEventWriter(run_dir / "tensorboard")
+
     def cb(rec):
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if tb_writer is not None:
+            tb_writer.add_scalars(
+                [(f"train/{k}", float(v)) for k, v in rec.items()
+                 if k != "step" and isinstance(v, (int, float))],
+                step=rec["step"],
+            )
+            tb_writer.flush()
         print(
             f"step {rec['step']:6d}  loss {rec['loss']:.4f}  "
             f"alive {rec['n_alive']}  {rec['wall_s']:.0f}s",
@@ -122,6 +138,12 @@ def main(argv=None):
             rec = {"step": trainer.step, **{f"eval_{k}": v for k, v in m.items()}}
             with open(log_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+            if tb_writer is not None:
+                tb_writer.add_scalars(
+                    [(f"eval/{k}", float(v)) for k, v in m.items()],
+                    step=trainer.step,
+                )
+                tb_writer.flush()
             print(f"eval @ {trainer.step}: {m}", flush=True)
             next_eval += cfg.steps_per_eval
         if steps_done % cfg.steps_per_save == 0 or steps_done >= cfg.max_num_iterations:

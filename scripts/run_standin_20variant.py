@@ -105,6 +105,15 @@ def fabricate(proc: Path) -> Path:
 
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # this box force-selects the remote TPU backend at interpreter start;
+    # the env var alone is not enough — override in process so the scene
+    # fabrication runs on host CPU and never contends with a TPU job
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
     proc = OUT / "proc"
     fabricate(proc)
 

@@ -37,7 +37,7 @@ class RunConfig:
     # box's remote tunnel (render compile + per-image dispatches), which
     # dominates short benchmark runs.
     steps_per_eval: int = 0
-    vis: str = "none"                 # none | viewer (live browser viewer)
+    vis: str = "none"                 # none | viewer (live browser viewer) | tensorboard (tfevents scalar export) | viewer+tensorboard
     viewer_port: int = 7007
     seed: int = 42
     model: SplatfactoConfig = dataclasses.field(default_factory=SplatfactoConfig)
