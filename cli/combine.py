@@ -60,7 +60,7 @@ def process(input_folder: Path, args):
             fid = "./" + fid
         frame = by_name.get(fid)
         if frame is None:
-            print(f"warning: could not find source pose for {fid}, skipping")
+            print(f"skipping frame {fid}: no matching source pose in the VIO set")
             if not args.tolerate_missing:
                 return
             continue
@@ -79,7 +79,7 @@ def process(input_folder: Path, args):
     cs = np.asarray(centers_sai) - np.mean(centers_sai, axis=0)
     cc = np.asarray(centers_src) - np.mean(centers_src, axis=0)
     scale = float(np.sqrt((cc**2).sum()) / max(np.sqrt((cs**2).sum()), 1e-12))
-    print(f"scene scale factor {scale:.12f}")
+    print(f"COLMAP/VIO RMS-radius scale ratio: {scale:.12f}")
     if args.pose_opt_pass_dir is None:
         for frame in combined:
             frame["camera_linear_velocity"] = [
