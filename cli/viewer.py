@@ -32,7 +32,15 @@ label { display:block; margin-top:4px; }
   <div>drag: orbit &middot; wheel: zoom</div>
   <label>exposure <input id="exp" type="range" min="0" max="0.5" step="0.01" value="0"></label>
   <label>rolling shutter <input id="rs" type="range" min="0" max="0.1" step="0.005" value="0"></label>
-  <div><a href="/export.ply" download style="color:#8cf">download .ply (3DGS)</a></div>
+  <details><summary>crop box</summary>
+    <label>x <input id="cx0" class="crop" type="range" min="0" max="1" step="0.02" value="0">
+           <input id="cx1" class="crop" type="range" min="0" max="1" step="0.02" value="1"></label>
+    <label>y <input id="cy0" class="crop" type="range" min="0" max="1" step="0.02" value="0">
+           <input id="cy1" class="crop" type="range" min="0" max="1" step="0.02" value="1"></label>
+    <label>z <input id="cz0" class="crop" type="range" min="0" max="1" step="0.02" value="0">
+           <input id="cz1" class="crop" type="range" min="0" max="1" step="0.02" value="1"></label>
+  </details>
+  <div><a id="plylink" href="/export.ply" download style="color:#8cf">download .ply (3DGS, cropped)</a></div>
   <div id="stat"></div>
 </div>
 <script>
@@ -43,7 +51,9 @@ function refresh(){
   busy=true;dirty=false;
   const t0=performance.now();
   const exp=document.getElementById('exp').value, rs=document.getElementById('rs').value;
-  fetch(`/render?yaw=${yaw}&pitch=${pitch}&r=${radius}&exp=${exp}&rs=${rs}`)
+  const crop=['cx0','cx1','cy0','cy1','cz0','cz1'].map(i=>`${i}=${document.getElementById(i).value}`).join('&');
+  document.getElementById('plylink').href=`/export.ply?${crop}`;
+  fetch(`/render?yaw=${yaw}&pitch=${pitch}&r=${radius}&exp=${exp}&rs=${rs}&${crop}`)
    .then(r=>r.blob()).then(b=>{
      img.src=URL.createObjectURL(b);
      document.getElementById('stat').textContent=`${(performance.now()-t0).toFixed(0)} ms`;
@@ -60,6 +70,7 @@ window.addEventListener('mousemove',e=>{
 window.addEventListener('wheel',e=>{radius*=Math.exp(e.deltaY*0.001);refresh();});
 document.getElementById('exp').addEventListener('input',refresh);
 document.getElementById('rs').addEventListener('input',refresh);
+for(const el of document.querySelectorAll('.crop')) el.addEventListener('input',refresh);
 refresh();
 </script></body></html>"""
 
@@ -90,9 +101,19 @@ class ViewerState:
         # orbit target: scene centroid of alive gaussians
         g = self.trainer.params.gaussians
         alive = np.asarray(g.alive) > 0.5
-        self.center = np.asarray(g.means)[alive].mean(axis=0)
+        means = np.asarray(g.means)[alive]
+        self.center = means.mean(axis=0)
+        # robust scene AABB for the crop-box sliders (fractions -> world)
+        self.aabb_lo = np.percentile(means, 1, axis=0)
+        self.aabb_hi = np.percentile(means, 99, axis=0)
 
-    def render(self, yaw, pitch, radius, exposure, rs_time) -> bytes:
+    def crop_to_world(self, crop):
+        """(x0,x1,y0,y1,z0,z1) AABB fractions -> (lo, hi) world coords."""
+        f = np.asarray(crop, np.float32).reshape(3, 2)
+        span = self.aabb_hi - self.aabb_lo
+        return self.aabb_lo + f[:, 0] * span, self.aabb_lo + f[:, 1] * span
+
+    def render(self, yaw, pitch, radius, exposure, rs_time, crop=None) -> bytes:
         import dataclasses
 
         import jax.numpy as jnp
@@ -127,6 +148,16 @@ class ViewerState:
             rolling_shutter_compensation=True,
         )
         params = self.trainer.params._replace(camera_opt={}, velocity_opt={})
+        if crop is not None and tuple(crop) != (0.0, 1.0, 0.0, 1.0, 0.0, 1.0):
+            lo, hi = self.crop_to_world(crop)
+            g = params.gaussians
+            inside = jnp.all(
+                (g.means >= jnp.asarray(lo)) & (g.means <= jnp.asarray(hi)),
+                axis=1,
+            )
+            params = params._replace(
+                gaussians=g._replace(alive=g.alive * inside.astype(g.alive.dtype))
+            )
         # sh degree must be resolved OUTSIDE the jit (int() on a staged value
         # raises ConcretizationTypeError under omnistaging)
         sh_deg = int(sf.active_sh_degree(mcfg, self.trainer.step))
@@ -168,6 +199,8 @@ def make_handler(state: ViewerState):
                     png = state.render(
                         get("yaw", 0), get("pitch", 0.3), get("r", 2.5),
                         get("exp", 0), get("rs", 0),
+                        crop=(get("cx0", 0), get("cx1", 1), get("cy0", 0),
+                              get("cy1", 1), get("cz0", 0), get("cz1", 1)),
                     )
                 except Exception as e:  # surface render errors to the client
                     msg = str(e).encode()
@@ -203,6 +236,15 @@ def make_handler(state: ViewerState):
                 if all(f"{a}{m}" in q for a in axes for m in ("min", "max")):
                     lo = np.array([float(q[f"{a}min"][0]) for a in axes])
                     hi = np.array([float(q[f"{a}max"][0]) for a in axes])
+                    keep &= np.all((means >= lo) & (means <= hi), axis=1)
+                elif any(k in q for k in
+                         ("cx0", "cx1", "cy0", "cy1", "cz0", "cz1")):
+                    # viewer crop-box sliders: AABB fractions
+                    getf = lambda k, d: float(q.get(k, [d])[0])
+                    lo, hi = state.crop_to_world((
+                        getf("cx0", 0), getf("cx1", 1), getf("cy0", 0),
+                        getf("cy1", 1), getf("cz0", 0), getf("cz1", 1),
+                    ))
                     keep &= np.all((means >= lo) & (means <= hi), axis=1)
                 with tempfile.NamedTemporaryFile(suffix=".ply") as f:
                     export_cli.export_ply(

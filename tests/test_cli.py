@@ -279,6 +279,24 @@ def test_viewer_render_route(fit_run):
             f"http://127.0.0.1:{port}/export.ply", timeout=300
         ).read()
         assert ply.startswith(b"ply\nformat binary_little_endian")
+        # crop-box tooling: a cropped render serves, and a degenerate crop
+        # exports FEWER splats than the full cloud (element counts are in
+        # the ply header)
+        png_c = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?yaw=0.3&pitch=0.2&r=3"
+            "&cx0=0.2&cx1=0.8&cy0=0&cy1=1&cz0=0&cz1=1",
+            timeout=300,
+        ).read()
+        assert png_c[:4] == b"\x89PNG"
+        ply_c = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/export.ply?cx0=0.45&cx1=0.55"
+            "&cy0=0.45&cy1=0.55&cz0=0.45&cz1=0.55", timeout=300,
+        ).read()
+
+        def n_verts(b):
+            return int(b.split(b"element vertex ")[1].split(b"\n")[0])
+
+        assert n_verts(ply_c) < n_verts(ply)
     finally:
         server.shutdown()
 
