@@ -28,7 +28,7 @@ EXTRA=(--trainer.scan-steps 25 --trainer.sync-every 50
 mkdir -p benchmarks "$OUT"
 python cli/generate_synthetic_suite.py \
     --input-dir "$OUT/inputs" --resolution "$RES" --scenes "$SCENES" \
-    --variants mb,rs --derive-velnoise
+    --variants mb,rs --derive-velnoise --jerk-scene
 
 # full 8-variant matrix on motion-blur data
 python cli/train.py --dataset synthetic-mb \
