@@ -65,9 +65,13 @@ def check(rows: list[dict], margin: float, vel_tol: float,
             if (d, s) != (dataset, session):
                 continue
             comp = None
-            if "mb" in dataset and variant.startswith("motion_blur"):
+            # smartphone-style recordings (the reference's real datasets)
+            # carry BOTH motion blur and rolling shutter distortion
+            has_mb = "mb" in dataset or "sai-cli" in dataset
+            has_rs = "-rs" in dataset or "sai-cli" in dataset
+            if has_mb and variant.startswith("motion_blur"):
                 comp = "motion-blur compensation"
-            if "-rs" in dataset and variant.startswith("rolling_shutter"):
+            if has_rs and variant.startswith("rolling_shutter"):
                 comp = "rolling-shutter compensation"
             # on noisy-prior datasets only velocity-optimized variants have a
             # correct motion model available, so only they owe the margin

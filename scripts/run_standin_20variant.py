@@ -161,6 +161,14 @@ def main():
         subprocess.call(
             [sys.executable, "cli/parse_outputs.py", "--input-dir",
              str(out_dir), "--by-variant"], stdout=f)
+    # sanity-margin ordering gate: at stand-in scale the reference-strength
+    # 1.0 dB margin is not meaningful, but compensation must not HURT
+    rc = subprocess.call([
+        sys.executable, "cli/check_benchmark_ordering.py",
+        "--input-dir", str(out_dir), "--margin", "0.0",
+        "--zero-init-margin", "0.0",
+    ])
+    print(f"ordering gate (margin 0) rc={rc}", flush=True)
     n_ok = sum(1 for v in results.values() if v.startswith(("ok", "cached")))
     print(f"{n_ok}/20 variants trained+evaluated", flush=True)
     sys.exit(0 if n_ok == 20 else 2)
