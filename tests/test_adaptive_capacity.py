@@ -123,7 +123,7 @@ def test_probe_matches_build_tile_lists(dense_scene):
     )
     eps = sf.blur_sample_times(cam2.exposure_time[0], cfg)
     t_max = jnp.max(jnp.abs(eps))   # rs compensation off in _cfg
-    pad = jnp.max(jnp.abs(proj.pix_vels), axis=-1) * t_max
+    pad = jnp.abs(proj.pix_vels) * t_max  # per-axis box, mirrors sf.binning_counts
     opac = jax.nn.sigmoid(g.opacities_logit) * g.alive
     op_eff = opac * proj.compensations * proj.valid
     lists = tiling.build_tile_lists(
