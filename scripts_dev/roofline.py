@@ -34,7 +34,7 @@ import numpy as np
 from splat_tpu.ops import projection, tiling
 
 # ---- bench configuration (bench.py) ----
-N, RES, TILE, MPT, MTPG, S = 100_000, 1024, 16, 256, 8, 5
+N, RES, TILE, MPT, MTPG, S = 100_000, 1024, 16, 256, int(os.environ.get("MTPG", "16")), 5
 CHUNK = 128
 NPARAM, NOUT = 13, 8
 
