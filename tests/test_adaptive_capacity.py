@@ -176,3 +176,28 @@ def test_stream_capacity_grows_before_binding(dense_scene):
     counts = np.asarray(t._binning_probe_fn()(t.params, t._probe_cam))
     landed = int(np.minimum(counts, t.model_config.max_per_tile).sum())
     assert landed <= 0.8 * grown
+
+
+def test_stream_capacity_grows_even_at_tile_ceiling(dense_scene):
+    """ADVICE r3 (medium): the stream-capacity check must run BEFORE the
+    max_per_tile-ceiling early return — with per-tile capacity pinned at its
+    ceiling, the sorted-entry cap must still grow rather than silently
+    dropping whole high-tile-id segments."""
+    from splat_tpu.engine import trainer as tr
+    from splat_tpu.models import splatfacto as sf
+
+    cfg = sf.SplatfactoConfig(
+        blur_samples=2, sh_degree=1, tile_size=8, max_per_tile=64,
+        max_tiles_per_gaussian=16, chunk=16, warmup_length=2,
+        refine_every=5, reset_alpha_every=1000,
+        max_total_entries=64,
+    )
+    # max_per_tile already AT the ceiling: the old code early-returned here
+    tc = tr.TrainerConfig(max_steps=12, seed=0, max_tile_capacity=64)
+    t = tr.Trainer(dense_scene, cfg, tc)
+    t.run(12)
+    assert t.model_config.max_per_tile == 64  # ceiling respected
+    grown = t.model_config.max_total_entries
+    assert grown > 64, f"stream capacity did not grow at the ceiling ({grown})"
+    # overflow pressure is surfaced for observability
+    assert getattr(t, "_tile_overflow_frac", None) is not None
