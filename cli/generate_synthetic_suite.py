@@ -109,6 +109,13 @@ def main(argv=None):
                          "priors, shared images) from each synthetic-mb scene")
     ap.add_argument("--trajectory", default="",
                     help="override per-scene trajectory (orbit|shake|jerk)")
+    ap.add_argument("--texture-scene", action="store_true",
+                    help="also emit a scene_tex session per variant: 8000 "
+                         "small splats (high-frequency content) — blur "
+                         "destroys information here, so compensation "
+                         "margins survive full-length training (the "
+                         "low-frequency default scenes let the baseline "
+                         "average mild blur away by 20k iterations)")
     ap.add_argument("--jerk-scene", action="store_true",
                     help="also emit a scene_jerk session per variant: "
                          "rotational shake whose period (~2x exposure) makes "
@@ -161,6 +168,21 @@ def main(argv=None):
                 if not (dst / "transforms.json").exists():
                     derive_velnoise(out, dst, seed=1000 + si)
                     print(f"derived {dst}", flush=True)
+        if args.texture_scene:
+            out = Path(args.input_dir) / f"synthetic-{variant}" / "scene_tex"
+            if (out / "transforms.json").exists():
+                print(f"skip {out} (exists)", flush=True)
+            elif not args.dry_run:
+                print(f"generate {out}  (texture: 8000 splats, scale 0.25x, "
+                      f"shake/0.08)", flush=True)
+                synthetic.generate_scene(
+                    out, n_gaussians=8000, n_frames=args.n_frames,
+                    img_size=args.resolution, exposure=exposure,
+                    rolling_shutter=rs, n_blur_samples=args.blur_gt_samples,
+                    gamma=2.2, seed=1777, eval_interval=8,
+                    n_seed_points=4000, trajectory="shake",
+                    shake_amp=0.08, shake_period=1.2, scale_mul=0.25,
+                )
         if args.jerk_scene:
             out = Path(args.input_dir) / f"synthetic-{variant}" / "scene_jerk"
             if (out / "transforms.json").exists():

@@ -28,12 +28,19 @@ from ..ops import projection, rasterize, se3, sh
 from . import ply as ply_io
 
 
-def make_random_gaussians(rng: np.random.Generator, n: int, spread=0.8, z_center=0.0):
-    """A blob of Gaussians around the origin (world frame)."""
+def make_random_gaussians(rng: np.random.Generator, n: int, spread=0.8, z_center=0.0,
+                          scale_mul: float = 1.0):
+    """A blob of Gaussians around the origin (world frame).
+
+    scale_mul < 1 with large n gives HIGH-FREQUENCY content (many small
+    splats) — the scene class where motion blur destroys information the
+    multi-view-consistent baseline cannot recover, so compensation margins
+    survive long training (the low-frequency default lets an uncompensated
+    model average mild blur away given enough iterations)."""
     means = rng.normal(size=(n, 3)) * np.array([spread, spread, spread]) + np.array(
         [0.0, 0.0, z_center]
     )
-    scales = np.exp(rng.normal(size=(n, 3)) * 0.4) * 0.06 * spread
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.4) * 0.06 * spread * scale_mul
     quats = rng.normal(size=(n, 4))
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
     colors = rng.uniform(0.05, 1.0, size=(n, 3))
@@ -216,6 +223,7 @@ def generate_scene(
     trajectory: str = "orbit",
     shake_amp: float = 0.06,
     shake_period: float = 1.3,
+    scale_mul: float = 1.0,
 ) -> dict:
     """Write a full reference-contract dataset; returns the scene dict."""
     from PIL import Image
@@ -223,7 +231,7 @@ def generate_scene(
     out_dir = Path(out_dir)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
-    gauss = make_random_gaussians(rng, n_gaussians)
+    gauss = make_random_gaussians(rng, n_gaussians, scale_mul=scale_mul)
     pose_fn = make_trajectory(trajectory, shake_amp, shake_period)
 
     fx = fy = img_size * 1.1
