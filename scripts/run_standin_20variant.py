@@ -37,6 +37,11 @@ OUT = Path(os.environ.get("OUT", "data/standin"))
 DEADLINE = float(os.environ.get("DEADLINE_TS", "0"))
 
 MODEL_FLAGS = [
+    # capacity cap: at 48px the default densification schedule over-splits
+    # (7k+ splats for a 400-gaussian GT scene, 3x step cost, no quality
+    # gain); 2048 matches where the scene's alive count plateaus
+    "--pipeline.model.initial-capacity", "1024",
+    "--trainer.max-capacity", "2048",
     "--pipeline.model.sh-degree", "2",
     "--pipeline.model.tile-size", "8",
     "--pipeline.model.max-per-tile", "128",
