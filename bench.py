@@ -60,6 +60,10 @@ MAX_TILES_PER_GAUSSIAN = int(os.environ.get("SPLAT_TPU_BENCH_MTG", "16"))
 #   pose, like the reference's CUDA loop (reference train.py:22; SURVEY.md
 #   §3.1) — measures the workload-level cost the fusion amortizes away.
 MODE = os.environ.get("SPLAT_TPU_BENCH_MODE", "fused")
+assert MODE in ("fused", "exact"), (
+    f"SPLAT_TPU_BENCH_MODE={MODE!r}: expected 'fused' or 'exact' "
+    "(a typo would silently benchmark the fused path under a wrong label)"
+)
 # Sorted-entry-stream capacity (ops.tiling max_total_entries): bounds the
 # per-row-costed gathers to the sorted prefix instead of the N*MTG padded
 # stream. "auto" (default) probes the landed entry count and picks the next
@@ -119,11 +123,22 @@ def main():
             while landed > 0.8 * cap:
                 cap *= 2
             MAX_TOTAL_ENTRIES = min(cap, N_GAUSS * MAX_TILES_PER_GAUSSIAN)
-        else:
-            ovf = int(lists0.entry_overflow)
-            assert ovf == 0, (
-                f"MAX_TOTAL_ENTRIES={MAX_TOTAL_ENTRIES} drops {ovf} entries"
+            # Re-verify the picked cap against the actual stream: the clamp
+            # to N*MTG can undercut the >=25%-headroom claim, and the probe
+            # above ran uncapped (round-4 advisor finding).
+            lists0 = _tiling.build_tile_lists(
+                proj0.means2d, proj0.extents, proj0.depths, proj0.valid,
+                RES, RES, TILE, MAX_PER_TILE, MAX_TILES_PER_GAUSSIAN,
+                radius_pad=jnp.abs(proj0.pix_vels)
+                * (jnp.max(jnp.abs(eps)) + 0.015),
+                conics=proj0.conics, opacities=op_eff0,
+                materialize_indices=False,
+                max_total_entries=MAX_TOTAL_ENTRIES,
             )
+        ovf = int(lists0.entry_overflow)
+        assert ovf == 0, (
+            f"MAX_TOTAL_ENTRIES={MAX_TOTAL_ENTRIES} drops {ovf} entries"
+        )
 
     def loss_fn_fused(means, colors, opac):
         proj = projection.project_gaussians(

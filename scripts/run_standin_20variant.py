@@ -61,10 +61,22 @@ def fabricate(proc: Path) -> Path:
 
     rec = proc / "raw" / "rec0"
     if not (rec / "transforms.json").exists():
+        # INTERMITTENT shake (round-5 protocol fix): the raised-cosine
+        # envelope (period = 8 frames x 0.35 s) dips the shake to zero
+        # amplitude AND zero rate once per 8-frame window, so each window
+        # contains a near-sharp frame — the assumption of the reference's
+        # blur-score eval split (train_eval_split_by_blur_score.py:27-47).
+        # Round 4's CONTINUOUS shake blurred even the sharpest-of-8 eval
+        # frames, which made fitting the blur beat compensating it
+        # (benchmarks/README.md round-4 protocol finding). Amp 0.10 keeps
+        # the mean blur comparable (the envelope halves the average); 0.16
+        # puts peak train-frame blur at ~3 px (48px res) while eval frames
+        # measure ~0.2 px — strong score discrimination per window.
         synthetic.generate_scene(
             rec, n_gaussians=400, n_frames=FRAMES, img_size=RES,
             exposure=0.06, rolling_shutter=0.01, n_blur_samples=9, seed=9,
-            trajectory="shake", shake_amp=0.06, eval_interval=10**6,
+            trajectory="shake", shake_amp=0.16, shake_envelope_period=2.8,
+            eval_interval=10**6,
         )
     meta = json.loads((rec / "transforms.json").read_text())
 
@@ -130,6 +142,14 @@ def main():
         for v in train_cli.variants_for_dataset("colmap-sai-cli-vels-blur-scored")
     ]
     assert len(variants) == 20, variants
+    # Run the paper's flagship all-on combinations FIRST: these are the three
+    # variants the round-4 session's deadline cut (VERDICT r4 missing #2), so
+    # a truncated session must never lose them again. baseline runs next (it
+    # anchors every margin), then the rest in matrix order.
+    priority = [v for v in variants if "motion_blur" in v and "pose_opt" in v
+                and "rolling_shutter" in v]
+    variants = (priority + ["baseline"]
+                + [v for v in variants if v not in priority and v != "baseline"])
     out_dir = OUT / "outputs"
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     results = {}
@@ -166,17 +186,22 @@ def main():
         subprocess.call(
             [sys.executable, "cli/parse_outputs.py", "--input-dir",
              str(out_dir), "--by-variant"], stdout=f)
-    # sanity-margin ordering gate: at stand-in scale (48px, ~1/3 draft
-    # iterations on CPU) pose_opt variants add free parameters that can dip
-    # a few tenths of a dB inside run noise, so compensation is only
-    # required not to HURT by >0.5 dB. The reference-strength 1.0 dB margins
-    # live in the full-scale synthetic TPU matrix (benchmarks/).
+    # Ordering gate. With the round-5 intermittent-shake protocol fix the
+    # eval frames are genuinely near-sharp, so compensation must WIN, not
+    # merely not-hurt: the default margin is positive. (The round-4
+    # continuous-shake recording could only support a -0.5 dB sanity margin
+    # — blurred eval GT rewards fitting the blur.) Reference-strength
+    # 1.0 dB margins remain the full-scale synthetic TPU matrix's job; at
+    # stand-in scale (48px, CPU) run noise is a few tenths of a dB.
+    margin = os.environ.get("MARGIN", "0.25")
+    zmargin = os.environ.get("ZERO_INIT_MARGIN", "0.0")
     rc = subprocess.call([
         sys.executable, "cli/check_benchmark_ordering.py",
-        "--input-dir", str(out_dir), "--margin", "-0.5",
-        "--zero-init-margin", "-0.5",
+        "--input-dir", str(out_dir), "--margin", margin,
+        "--zero-init-margin", zmargin,
     ])
-    print(f"ordering gate (margin -0.5 sanity) rc={rc}", flush=True)
+    print(f"ordering gate (margin {margin}, zero-init {zmargin}) rc={rc}",
+          flush=True)
     n_ok = sum(1 for v in results.values() if v.startswith(("ok", "cached")))
     print(f"{n_ok}/20 variants trained+evaluated", flush=True)
     sys.exit(0 if n_ok == 20 else 2)

@@ -86,7 +86,7 @@ def _rotvec_to_matrix(phi: np.ndarray) -> np.ndarray:
 
 
 def shake_pose_gl(t: float, amp: float = 0.06, period: float = 1.3,
-                  phases=(0.0, 1.7, 3.1)) -> np.ndarray:
+                  phases=(0.0, 1.7, 3.1), envelope_period: float = 0.0) -> np.ndarray:
     """Handheld-style trajectory: the look-at orbit composed with a smooth
     camera-frame rotational shake exp([theta(t)]x).
 
@@ -96,13 +96,24 @@ def shake_pose_gl(t: float, amp: float = 0.06, period: float = 1.3,
     heavy. Peak shake angular rate is amp*2*pi/period rad/s on each axis;
     period >> exposure keeps the constant-velocity model (SURVEY.md Appendix
     B.2) a fair approximation of the true integrated motion.
-    """
+
+    envelope_period > 0 multiplies theta by the raised cosine
+    0.5*(1-cos(2*pi*t/T)): INTERMITTENT shake, dipping to zero amplitude
+    AND zero slope at t = k*T. Real handheld blur is intermittent — the
+    reference's blur-score eval protocol assumes each window of frames
+    contains a genuinely sharp frame
+    (/root/reference/train_eval_split_by_blur_score.py:27-47); a stand-in
+    recording with continuous shake violates that assumption and makes
+    fitting the blur beat compensating it (round-4 protocol finding,
+    benchmarks/README.md)."""
     base = orbit_pose_gl(t)
     w = 2 * np.pi / period
     theta = amp * np.array(
         [np.sin(w * t + phases[0]), np.sin(0.83 * w * t + phases[1]),
          0.35 * np.sin(1.21 * w * t + phases[2])]
     )
+    if envelope_period > 0.0:
+        theta = theta * (0.5 * (1.0 - np.cos(2 * np.pi * t / envelope_period)))
     m = base.copy()
     m[:3, :3] = base[:3, :3] @ _rotvec_to_matrix(theta)
     return m
@@ -132,17 +143,55 @@ def jerk_pose_gl(t: float, amp: float = 0.06, period: float = 0.22,
 
 
 def make_trajectory(name: str = "orbit", shake_amp: float = 0.06,
-                    shake_period: float = 1.3):
+                    shake_period: float | None = None,
+                    envelope_period: float = 0.0):
     """Named trajectory -> pose_fn(t)->4x4 GL c2w. 'orbit' is the round-2
     look-at orbit; 'shake' adds camera-frame rotational shake on top; 'jerk'
-    is shake with intra-exposure velocity reversal (short period)."""
+    is shake with intra-exposure velocity reversal (short period).
+
+    shake_period=None picks the per-trajectory default: 1.3 s for 'shake'
+    but 0.22 s for 'jerk' — jerk's defining property (angular velocity
+    reversal WITHIN a 0.06-0.12 s exposure) requires a period comparable to
+    the exposure, so inheriting the long shake default would silently
+    produce a non-jerk scene (round-4 advisor finding)."""
     if name == "orbit":
         return orbit_pose_gl
     if name == "shake":
-        return lambda t: shake_pose_gl(t, amp=shake_amp, period=shake_period)
+        period = 1.3 if shake_period is None else shake_period
+        return lambda t: shake_pose_gl(t, amp=shake_amp, period=period,
+                                       envelope_period=envelope_period)
     if name == "jerk":
-        return lambda t: jerk_pose_gl(t, amp=shake_amp, period=shake_period)
+        period = 0.22 if shake_period is None else shake_period
+        return lambda t: jerk_pose_gl(t, amp=shake_amp, period=period)
     raise ValueError(f"unknown trajectory {name!r}")
+
+
+def screen_blur_px(pose_fn, t_mid: float, exposure: float,
+                   fx: float, fy: float, cx: float, cy: float) -> float:
+    """Measured screen-space blur extent in pixels: mean pixel displacement of
+    a fixed probe grid of scene points between exposure start and end.
+
+    This is what a real blur metric (the reference gets motion_blur_score
+    from sai-cli's own estimator) responds to — and what a naive
+    fx*|omega| proxy gets WRONG on look-at trajectories, where the orbit's
+    large constant angular rate self-cancels against its translation
+    (round-2 finding) and would mask the shake modulation the blur-score
+    eval split needs to see."""
+    if exposure <= 0.0:
+        return 0.0
+    pts = np.array([[0.0, 0.0, 0.0], [0.6, 0, 0], [-0.6, 0, 0],
+                    [0, 0.6, 0], [0, -0.6, 0], [0, 0, 0.6], [0, 0, -0.6]])
+
+    def project(m_gl: np.ndarray) -> np.ndarray:
+        R, p = m_gl[:3, :3], m_gl[:3, 3]
+        cam_gl = (pts - p) @ R  # rows: R^T (x - p)
+        # GL -> CV: x, -y, -z
+        x, y, z = cam_gl[:, 0], -cam_gl[:, 1], -cam_gl[:, 2]
+        z = np.maximum(z, 1e-6)
+        return np.stack([fx * x / z + cx, fy * y / z + cy], -1)
+
+    d = project(pose_fn(t_mid + exposure / 2)) - project(pose_fn(t_mid - exposure / 2))
+    return float(np.linalg.norm(d, axis=-1).mean())
 
 
 def trajectory_velocities_gl(pose_fn, t: float, dt: float = 1e-3):
@@ -222,7 +271,8 @@ def generate_scene(
     n_seed_points: int = 128,
     trajectory: str = "orbit",
     shake_amp: float = 0.06,
-    shake_period: float = 1.3,
+    shake_period: float | None = None,
+    shake_envelope_period: float = 0.0,
     scale_mul: float = 1.0,
 ) -> dict:
     """Write a full reference-contract dataset; returns the scene dict."""
@@ -232,7 +282,8 @@ def generate_scene(
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     gauss = make_random_gaussians(rng, n_gaussians, scale_mul=scale_mul)
-    pose_fn = make_trajectory(trajectory, shake_amp, shake_period)
+    pose_fn = make_trajectory(trajectory, shake_amp, shake_period,
+                              envelope_period=shake_envelope_period)
 
     fx = fy = img_size * 1.1
     cx = cy = img_size / 2.0
@@ -257,13 +308,19 @@ def generate_scene(
         v_gl, w_gl = trajectory_velocities_gl(pose_fn, t_mid)
         if is_eval:
             v_gl, w_gl = np.zeros(3), np.zeros(3)
+        # Blur score: measured screen-space blur extent (pixels) over the
+        # exposure — see screen_blur_px. The reference's score comes from
+        # sai-cli's own blur metric; the pre-round-5 |v_lin| proxy cannot
+        # discriminate on rotational-shake recordings whose orbit speed is
+        # constant.
+        blur_px = screen_blur_px(pose_fn, t_mid, exp_i, fx, fy, cx, cy)
         frames.append(
             {
                 "file_path": name,
                 "transform_matrix": pose_fn(t_mid).tolist(),
                 "camera_linear_velocity": np.asarray(v_gl).tolist(),
                 "camera_angular_velocity": np.asarray(w_gl).tolist(),
-                "motion_blur_score": 0.0 if is_eval else float(np.linalg.norm(v_gl)),
+                "motion_blur_score": 0.0 if is_eval else blur_px,
             }
         )
 

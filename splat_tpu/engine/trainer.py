@@ -925,10 +925,12 @@ class Trainer:
         # state groups the checkpoint carries (round-3 checkpoints hold
         # params+step only; current ones add optimizer/strategy/sampling).
         stored_keys: set[str] = set()
+        meta_tree = None
         try:
             meta = ckptr.metadata(path)
-            stored_keys = set(meta.item_metadata.tree.keys())
-            stored_cap = meta.item_metadata.tree["gaussians"]["means"].shape[0]
+            meta_tree = meta.item_metadata.tree
+            stored_keys = set(meta_tree.keys())
+            stored_cap = meta_tree["gaussians"]["means"].shape[0]
         except Exception:
             stored_cap = self.params.gaussians.alive.shape[0]
         cap = self.params.gaussians.alive.shape[0]
@@ -965,6 +967,17 @@ class Trainer:
             template["sampling"] = self._sampling_state()
         if "eval_opt_state" in stored_keys and self.eval_opt_state is not None:
             template["eval_opt_state"] = self.eval_opt_state
+        # Orbax's StandardCheckpointer rejects SUBSET templates ("tree
+        # structures do not match"), so any stored group the template does
+        # not cover — e.g. eval_opt_state saved by an eval-camera-optimizing
+        # run, loaded under a config with the feature disabled — gets a
+        # throwaway zeros template synthesized from the checkpoint's own
+        # metadata and is discarded after restore (round-4 advisor finding).
+        if meta_tree is not None:
+            for k in stored_keys - set(template):
+                template[k] = jax.tree_util.tree_map(
+                    lambda e: jnp.zeros(e.shape, e.dtype), meta_tree[k]
+                )
         state = ckptr.restore(path, template)
         self.params = self.params._replace(
             gaussians=sf.GaussianParams(**state["gaussians"]),
@@ -997,8 +1010,14 @@ class Trainer:
             )
         # Legacy (params-only) checkpoints: reconstruct the most recent
         # opacity-reset step from the schedule so a resumed run keeps the
-        # post-reset refine pause. Full checkpoints restore it exactly above.
+        # post-reset refine pause, and re-derive the camera-sampling cursor
+        # from the restored step — a trainer instance that already trained
+        # would otherwise keep its stale _order/_cam_cursor and diverge from
+        # a fresh-trainer resume (round-4 advisor finding). Full checkpoints
+        # restore the exact stream above.
         if "sampling" not in state:
+            self._order = None
+            self._cam_cursor = self.step * self.data_batch
             cfg = self.model_config
             interval = cfg.refine_every * max(cfg.reset_alpha_every, 1)
             if cfg.reset_alpha_every > 0 and self.step >= interval:

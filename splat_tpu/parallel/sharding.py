@@ -89,9 +89,28 @@ def init_distributed(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as e:
         if coordinator_address is not None or num_processes is not None:
             raise  # explicit multi-process args: a failure is real
+        # Auto-detect mode: only swallow the failure when NO multi-process
+        # indicators exist in the environment. On a Cloud-TPU pod slice the
+        # env/metadata server IS the configuration — a failed initialize()
+        # there means each host would silently train as an independent
+        # single-process run, the exact degradation the docstring warns
+        # against (round-4 advisor finding).
+        import os
+
+        indicators = [k for k in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+            "TPU_ACCELERATOR_TYPE", "CLOUD_TPU_TASK_ID",
+        ) if os.environ.get(k)]
+        if indicators:
+            raise RuntimeError(
+                "jax.distributed.initialize() failed while multi-process "
+                f"environment indicators are set ({', '.join(indicators)}); "
+                "refusing to continue as a silent single-process run"
+            ) from e
         # plain single-host call with nothing to auto-detect — keep the
         # documented no-op contract
 
