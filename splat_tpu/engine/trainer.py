@@ -967,25 +967,69 @@ class Trainer:
             template["sampling"] = self._sampling_state()
         if "eval_opt_state" in stored_keys and self.eval_opt_state is not None:
             template["eval_opt_state"] = self.eval_opt_state
-        # Orbax's StandardCheckpointer rejects SUBSET templates ("tree
-        # structures do not match"), so any stored group the template does
-        # not cover — e.g. eval_opt_state saved by an eval-camera-optimizing
-        # run, loaded under a config with the feature disabled — gets a
-        # throwaway zeros template synthesized from the checkpoint's own
-        # metadata and is discarded after restore (round-4 advisor finding).
+        # A checkpoint saved under a different feature set (e.g. eval-camera
+        # optimization enabled, loaded with it disabled) differs from this
+        # trainer's state both at the top level (an extra eval_opt_state
+        # group) and INSIDE groups (eval leaves in the Adam moments), and
+        # orbax's strict StandardRestore rejects any mismatch outright
+        # (round-4 advisor finding). For every group whose leaf-path
+        # structure differs from the stored one, restore into a throwaway
+        # zeros template synthesized from the checkpoint's own metadata and
+        # keep this trainer's current value instead — a structurally
+        # different optimizer/camera state cannot be applied anyway.
+        def _leaf_paths(tree) -> set[tuple]:
+            # normalize path entries to bare names/indices: the metadata
+            # tree is a plain dict nest (DictKey everywhere) while the live
+            # template contains optax classes (GetAttrKey/SequenceKey), so
+            # keystr() strings are not comparable across the two
+            def norm(entry):
+                for attr in ("key", "name", "idx"):
+                    if hasattr(entry, attr):
+                        return str(getattr(entry, attr))
+                return str(entry)
+
+            kps, _ = jax.tree_util.tree_flatten_with_path(tree)
+            return {tuple(norm(e) for e in kp) for kp, _ in kps}
+
+        discarded: set[str] = set()
         if meta_tree is not None:
             for k in stored_keys - set(template):
                 template[k] = jax.tree_util.tree_map(
                     lambda e: jnp.zeros(e.shape, e.dtype), meta_tree[k]
                 )
+                discarded.add(k)
+            for k in list(template):
+                # never silently skip the model itself — a structural
+                # mismatch there must fail loudly in restore below
+                if k in ("gaussians", "background_logit", "step"):
+                    continue
+                if k in meta_tree and k not in discarded and _leaf_paths(
+                    meta_tree[k]
+                ) != _leaf_paths(template[k]):
+                    template[k] = jax.tree_util.tree_map(
+                        lambda e: jnp.zeros(e.shape, e.dtype), meta_tree[k]
+                    )
+                    discarded.add(k)
+            if discarded:
+                print(
+                    "load_checkpoint: feature-set mismatch — keeping current "
+                    f"state for group(s) {sorted(discarded)} (stored "
+                    "structure differs from this trainer's config)",
+                    flush=True,
+                )
         state = ckptr.restore(path, template)
+        for k in discarded:
+            state.pop(k, None)
+        cur = self.params
         self.params = self.params._replace(
             gaussians=sf.GaussianParams(**state["gaussians"]),
             background_logit=state["background_logit"],
-            camera_opt=state["camera_opt"],
-            velocity_opt=state["velocity_opt"],
-            eval_camera_opt=state["eval_camera_opt"],
-            eval_velocity_opt=state["eval_velocity_opt"],
+            camera_opt=state.get("camera_opt", cur.camera_opt),
+            velocity_opt=state.get("velocity_opt", cur.velocity_opt),
+            eval_camera_opt=state.get("eval_camera_opt", cur.eval_camera_opt),
+            eval_velocity_opt=state.get(
+                "eval_velocity_opt", cur.eval_velocity_opt
+            ),
         )
         self.step = int(state["step"])
         if "opt_state" in state:

@@ -165,6 +165,78 @@ def test_checkpoint_resume_continues_trajectory(fixture_scene, tmp_path):
     )
 
 
+def test_checkpoint_cross_feature_set_load(fixture_scene, tmp_path):
+    """A FULL checkpoint saved with eval-camera optimization enabled must
+    load under a config with the feature disabled (round-4 advisor finding:
+    orbax's strict restore rejects both the extra eval_opt_state group and
+    the eval leaves inside the Adam moments): params restore exactly, the
+    structurally-incompatible groups keep the current trainer's state, and
+    training resumes."""
+    import dataclasses
+
+    mc_on = small_model_config(
+        camera_optimizer=cam_opt.CameraOptConfig(mode="SO3xR3"),
+        optimize_eval_cameras=True,
+    )
+    tc = tr.TrainerConfig(max_steps=40, seed=0)
+    t1 = tr.Trainer(fixture_scene, mc_on, tc)
+    t1.run(20)
+    assert t1.eval_opt_state is not None
+    t1.save_checkpoint(tmp_path / "ckpt_on")
+
+    mc_off = dataclasses.replace(mc_on, optimize_eval_cameras=False)
+    t2 = tr.Trainer(fixture_scene, mc_off, tc)
+    assert t2.eval_opt_state is None
+    t2.load_checkpoint(tmp_path / "ckpt_on")
+    assert t2.step == 20
+    np.testing.assert_allclose(
+        np.asarray(t2.params.gaussians.means),
+        np.asarray(t1.params.gaussians.means),
+    )
+    t2.run(10)
+    assert t2.step == 30
+
+    # reverse direction: feature-off checkpoint into a feature-on config
+    t3 = tr.Trainer(fixture_scene, mc_off, tc)
+    t3.run(10)
+    t3.save_checkpoint(tmp_path / "ckpt_off")
+    t4 = tr.Trainer(fixture_scene, mc_on, tc)
+    t4.load_checkpoint(tmp_path / "ckpt_off")
+    t4.run(5)
+    assert t4.step == 15
+
+
+def test_legacy_checkpoint_resets_sampling_cursor(fixture_scene, tmp_path):
+    """Loading a params-only (legacy) checkpoint into a trainer that has
+    ALREADY trained must re-derive the camera-sampling cursor from the
+    restored step instead of keeping the stale stream (round-4 advisor
+    finding)."""
+    import orbax.checkpoint as ocp
+
+    mc = small_model_config()
+    tc = tr.TrainerConfig(max_steps=60, seed=0)
+    t1 = tr.Trainer(fixture_scene, mc, tc)
+    t1.run(25)
+    legacy = {
+        "gaussians": t1.params.gaussians._asdict(),
+        "background_logit": t1.params.background_logit,
+        "camera_opt": t1.params.camera_opt,
+        "velocity_opt": t1.params.velocity_opt,
+        "eval_camera_opt": t1.params.eval_camera_opt,
+        "eval_velocity_opt": t1.params.eval_velocity_opt,
+        "step": jnp.asarray(25),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((tmp_path / "ck_legacy").absolute(), legacy, force=True)
+    ckptr.wait_until_finished()
+
+    t2 = tr.Trainer(fixture_scene, mc, tc)
+    t2.run(40)  # trained instance with a live sampling stream
+    t2.load_checkpoint(tmp_path / "ck_legacy")
+    assert t2._order is None
+    assert t2._cam_cursor == 25 * t2.data_batch
+
+
 def test_refine_during_training_changes_population(fixture_scene):
     mc = small_model_config(warmup_length=10, refine_every=30, densify_grad_thresh=1e-5)
     tc = tr.TrainerConfig(max_steps=70, seed=0)
