@@ -40,15 +40,22 @@ VARIANTS = {
     "mbrs": (0.12, 0.07),
 }
 
-# Per-scene trajectory: handheld-style rotational shake of increasing
-# amplitude (splat_tpu/data/synthetic.py:shake_pose_gl). The round-2 bare
+# Per-scene trajectory: handheld-style rotational shake
+# (splat_tpu/data/synthetic.py:shake_pose_gl). The round-2 bare
 # orbit's blur self-cancels at the look-at center (+0.66 dB MB-vs-baseline,
 # below the 1 dB ordering margin — benchmarks/README.md); whole-image
 # rotational blur is what the Deblur-NeRF-style benchmark actually exercises.
 # scene2 is the heavy-motion scene (peak shake rate ~0.63 rad/s ~ 43 px of
 # blur at 512px over the 0.12 s exposure).
+#
+# Round-5 recalibration: scene0's original 0.05 rad shake left only 1.12 dB
+# of blur-induced headroom at 20k iterations (measured sharp-ceiling probe,
+# benchmarks/README.md) — below the 1.0 dB ordering margin BY CONSTRUCTION.
+# A benchmark scene must discriminate at reference length (VERDICT r4
+# missing #1), so scene0 now sits at 0.095 rad, inside the band bracketed
+# by scene1 (0.08 -> +1.56 dB at 20k) and scene2 (0.11 -> +1.92 dB).
 SCENE_TRAJECTORIES = [
-    ("shake", 0.05, 1.4),
+    ("shake", 0.095, 1.15),
     ("shake", 0.08, 1.2),
     ("shake", 0.11, 1.1),
     ("orbit", 0.0, 1.0),  # scene3+: the round-2 self-canceling orbit (hypothesis probe)
@@ -116,6 +123,17 @@ def main(argv=None):
                          "margins survive full-length training (the "
                          "low-frequency default scenes let the baseline "
                          "average mild blur away by 20k iterations)")
+    ap.add_argument("--tex-scale-mul", type=float, default=0.45,
+                    help="scene_tex splat-scale multiplier. The round-4 "
+                         "value (0.25) OVERSHOT the difficulty: ~40 px blur "
+                         "over 0.25x splats left nothing recoverable and "
+                         "PSNR saturated at the blurry-reconstruction level "
+                         "for both methods (benchmarks/README.md). 0.45 "
+                         "keeps the content high-frequency while leaving "
+                         "recoverable signal, so compensation discriminates "
+                         "at 20k iterations.")
+    ap.add_argument("--tex-shake-amp", type=float, default=0.08,
+                    help="scene_tex shake amplitude (rad)")
     ap.add_argument("--jerk-scene", action="store_true",
                     help="also emit a scene_jerk session per variant: "
                          "rotational shake whose period (~2x exposure) makes "
@@ -173,15 +191,17 @@ def main(argv=None):
             if (out / "transforms.json").exists():
                 print(f"skip {out} (exists)", flush=True)
             elif not args.dry_run:
-                print(f"generate {out}  (texture: 8000 splats, scale 0.25x, "
-                      f"shake/0.08)", flush=True)
+                print(f"generate {out}  (texture: 8000 splats, scale "
+                      f"{args.tex_scale_mul}x, shake/{args.tex_shake_amp})",
+                      flush=True)
                 synthetic.generate_scene(
                     out, n_gaussians=8000, n_frames=args.n_frames,
                     img_size=args.resolution, exposure=exposure,
                     rolling_shutter=rs, n_blur_samples=args.blur_gt_samples,
                     gamma=2.2, seed=1777, eval_interval=8,
                     n_seed_points=4000, trajectory="shake",
-                    shake_amp=0.08, shake_period=1.2, scale_mul=0.25,
+                    shake_amp=args.tex_shake_amp, shake_period=1.2,
+                    scale_mul=args.tex_scale_mul,
                 )
         if args.jerk_scene:
             out = Path(args.input_dir) / f"synthetic-{variant}" / "scene_jerk"

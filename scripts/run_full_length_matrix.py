@@ -47,25 +47,59 @@ EXTRA = [
     "--pipeline.model.max-tiles-per-gaussian", "16",
 ]
 
-# (dataset, variant, scene) in priority order
+# (dataset, variant, scene) in priority order. Completed runs are cached
+# (skipped), so the list reads as TIERS: the earliest uncached run is always
+# the most important remaining one if the session deadline truncates.
 RUNS = []
-for scene in ("scene2", "scene0", "scene1"):
+# Tier 1 — the recalibrated gate scenes (round 5): scene0 regenerated at
+# 0.095 rad (its 0.05 rad original had only 1.12 dB of blur headroom — below
+# the 1.0 dB ordering margin by construction), scene_tex retuned to
+# scale 0.45x / shake 0.11 (the 0.25x original saturated PSNR for both
+# methods). The velnoise scene0 rows are derived from scene0 and re-run with
+# it. See benchmarks/README.md round-5 section.
+for scene in ("scene0",):
+    RUNS += [("synthetic-mb", "baseline", scene),
+             ("synthetic-mb", "motion_blur", scene),
+             ("synthetic-mb", "motion_blur-pose_opt-velocity_opt", scene)]
+RUNS += [("synthetic-mb-velnoise", "motion_blur", "scene0"),
+         ("synthetic-mb-velnoise", "motion_blur-velocity_opt", "scene0")]
+RUNS += [("synthetic-mb", "baseline", "scene_tex"),
+         ("synthetic-mb", "motion_blur", "scene_tex")]
+# Tier 2 — the core rows (cached from round 4 unless inputs changed)
+for scene in ("scene2", "scene1"):
     RUNS += [("synthetic-mb", "baseline", scene),
              ("synthetic-mb", "motion_blur", scene)]
 for scene in ("scene1", "scene2"):
     RUNS += [("synthetic-rs", "baseline", scene),
              ("synthetic-rs", "rolling_shutter", scene),
              ("synthetic-rs", "rolling_shutter-velocity_opt", scene)]
-RUNS += [("synthetic-mb-velnoise", "motion_blur", "scene0"),
-         ("synthetic-mb-velnoise", "motion_blur-velocity_opt", "scene0")]
-# high-frequency texture scene (round-4 finding: the low-frequency default
-# scenes let the baseline average mild blur away by 20k iterations — on
-# scene_tex the blur destroys information, so the margin survives full
-# length). Generated by generate_synthetic_suite.py --texture-scene.
-RUNS += [("synthetic-mb", "baseline", "scene_tex"),
-         ("synthetic-mb", "motion_blur", "scene_tex")]
-for scene in ("scene2", "scene0", "scene1"):
+for scene in ("scene2", "scene1"):
     RUNS += [("synthetic-mb", "motion_blur-pose_opt-velocity_opt", scene)]
+# Tier 3 — complete the 8-variant synthetic-mb set at reference length
+# (VERDICT r4 missing #4/#6: pose_opt alone, motion_blur-velocity_opt and
+# the zero_init rows existed only at draft length) + a second velnoise
+# scene (the +3.75 dB corrupted-prior recovery rested on one run).
+for scene in ("scene1", "scene2"):
+    RUNS += [("synthetic-mb", "pose_opt", scene),
+             ("synthetic-mb", "motion_blur-velocity_opt", scene)]
+RUNS += [("synthetic-mb-velnoise", "motion_blur", "scene1"),
+         ("synthetic-mb-velnoise", "motion_blur-velocity_opt", "scene1")]
+for scene in ("scene1", "scene2"):
+    RUNS += [("synthetic-mb", "motion_blur-velocity_opt-zero_init", scene)]
+# Tier 4 — remaining completeness: the sharp-ceiling probe for the NEW
+# scene0, the last 8-variant rows, scene0's tier-3 equivalents.
+RUNS += [("synthetic-clear", "baseline", "scene0")]
+for scene in ("scene1", "scene2"):
+    RUNS += [("synthetic-mb", "motion_blur-pose_opt", scene),
+             ("synthetic-mb", "motion_blur-pose_opt-velocity_opt-zero_init",
+              scene)]
+for scene in ("scene0",):
+    RUNS += [("synthetic-mb", "pose_opt", scene),
+             ("synthetic-mb", "motion_blur-velocity_opt", scene),
+             ("synthetic-mb", "motion_blur-pose_opt", scene),
+             ("synthetic-mb", "motion_blur-velocity_opt-zero_init", scene),
+             ("synthetic-mb", "motion_blur-pose_opt-velocity_opt-zero_init",
+              scene)]
 
 
 def ensure_suite():
