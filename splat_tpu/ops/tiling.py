@@ -25,12 +25,19 @@ Static capacity knobs (recompile when changed):
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 TILE_SENTINEL = jnp.int32(2**30)
+
+# Round-5 lever (b) A/B knob: invert the binning permutation with a
+# unique-indices scatter over the capped stream instead of a second
+# full-stream lexicographic sort. Default ON (measured faster on v5e;
+# bit-identical output — see test_tiling_inverse_paths_agree).
+_INV_SCATTER = _os.environ.get("SPLAT_TPU_INV_SCATTER", "1") != "0"
 
 
 def _sigma_min_on_rect(lx, hx, ly, hy, ca, cb, cc):
@@ -406,7 +413,20 @@ def build_tile_lists(
     slot_of_pos = jnp.where(
         slot_valid, t_of_pos * max_per_tile + j_of_pos, dummy
     )
-    _, slot_of_entry = jax.lax.sort((sorted_entry, slot_of_pos), num_keys=1)
+    if _INV_SCATTER:
+        # Permutation INVERSE via a unique-indices scatter instead of a
+        # second full-stream lexicographic sort (round-5 lever (b),
+        # BASELINE.md): sorted_entry is a permutation, so the scatter has no
+        # duplicates and XLA skips the sort-based dedup its generic
+        # scatter-add path pays for. Only the first l_cap positions can hold
+        # a live slot (slot_valid includes pos < l_cap), so the scatter runs
+        # over the CAPPED stream; entries beyond it keep the dummy init.
+        slot_of_entry = jnp.full((n_entries,), dummy, jnp.int32).at[
+            sorted_entry[:l_cap]
+        ].set(slot_of_pos[:l_cap], unique_indices=True,
+              mode="promise_in_bounds")
+    else:
+        _, slot_of_entry = jax.lax.sort((sorted_entry, slot_of_pos), num_keys=1)
 
     return TileLists(
         indices=idx,

@@ -111,6 +111,37 @@ def test_overflow_reported():
     assert int(lists.counts.max()) == 16
 
 
+def test_tiling_inverse_paths_agree():
+    """The scatter-based permutation inverse (SPLAT_TPU_INV_SCATTER, the
+    round-5 sort-shrink lever) must produce BIT-IDENTICAL entry_slots to the
+    rank-sort path, including under a sorted-stream cap (entries past the cap
+    keep the dummy slot)."""
+    proj, colors, opac, w, h = make_scene(seed=11)
+    kw = dict(tile_size=8, max_per_tile=32, max_tiles_per_gaussian=16)
+    for mte in (0, 256):
+        import splat_tpu.ops.tiling as tiling_mod
+
+        orig = tiling_mod._INV_SCATTER
+        try:
+            outs = {}
+            for flag in (False, True):
+                tiling_mod._INV_SCATTER = flag
+                outs[flag] = tiling_mod.build_tile_lists.__wrapped__(
+                    proj.means2d, proj.extents, proj.depths, proj.valid, w, h,
+                    max_total_entries=mte, **kw
+                )
+        finally:
+            tiling_mod._INV_SCATTER = orig
+        np.testing.assert_array_equal(
+            np.asarray(outs[False].entry_slots),
+            np.asarray(outs[True].entry_slots),
+            err_msg=f"mte={mte}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs[False].sorted_ids), np.asarray(outs[True].sorted_ids)
+        )
+
+
 def test_tile_lists_depth_sorted():
     proj, colors, opac, w, h = make_scene(seed=5)
     lists = tiling.build_tile_lists(
