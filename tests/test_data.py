@@ -147,3 +147,49 @@ def test_velocity_optimizer_zero_init_semantics():
     absolute = cam_opt.apply_velocity_opt(
         cams, params, cam_opt.VelocityOptConfig(enabled=True, zero_initial_velocities=True))
     np.testing.assert_allclose(np.asarray(absolute.lin_vel), 0.5, atol=1e-6)
+
+
+def test_intermittent_shake_envelope_and_blur_score():
+    """Round-5 stand-in protocol fix: with a raised-cosine shake envelope of
+    period P, the measured screen-blur score must dip to a near-zero minimum
+    at t = k*P (the envelope zeroes both amplitude AND slope there) and rise
+    well above it mid-window — the property the blur-score eval split
+    (sharpest-of-N per window) depends on."""
+    env_p = 2.8
+    pose_fn = synthetic.make_trajectory(
+        "shake", shake_amp=0.16, envelope_period=env_p
+    )
+    fx = fy = 52.8
+    cx = cy = 24.0
+    exposure = 0.06
+    at_min = [synthetic.screen_blur_px(pose_fn, k * env_p, exposure,
+                                       fx, fy, cx, cy) for k in range(1, 4)]
+    mid = [synthetic.screen_blur_px(pose_fn, (k + 0.5) * env_p, exposure,
+                                    fx, fy, cx, cy) for k in range(1, 4)]
+    # minima: residual orbit blur only (self-canceling look-at, <0.5 px);
+    # mid-window: full shake, several x larger
+    assert max(at_min) < 0.5, at_min
+    assert min(mid) > 2.0 * max(at_min), (at_min, mid)
+    # zero exposure scores exactly zero (eval-frame convention)
+    assert synthetic.screen_blur_px(pose_fn, env_p, 0.0, fx, fy, cx, cy) == 0.0
+
+
+def test_jerk_default_period_reverses_within_exposure():
+    """make_trajectory('jerk') without an explicit period must use the short
+    jerk default (0.22 s), under which the angular velocity reverses
+    direction within a 0.12 s exposure — the trajectory's defining property
+    (round-4 advisor finding: it silently inherited the 1.3 s shake
+    default)."""
+    pose_fn = synthetic.make_trajectory("jerk", shake_amp=0.05)
+    t0 = 1.0
+    ws = []
+    for dt in np.linspace(-0.06, 0.06, 9):
+        _, w = synthetic.trajectory_velocities_gl(pose_fn, t0 + dt)
+        ws.append(np.asarray(w))
+    ws = np.stack(ws)
+    # shake component rides on the orbit's constant angular rate; look for a
+    # sign flip in the DEVIATION from the window mean on at least one axis
+    dev = ws - ws.mean(axis=0)
+    flips = [np.min(dev[:, i]) < -1e-3 and np.max(dev[:, i]) > 1e-3
+             for i in range(3)]
+    assert any(flips), dev
