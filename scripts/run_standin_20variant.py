@@ -52,13 +52,17 @@ MODEL_FLAGS = [
 ]
 
 
-def fabricate(proc: Path) -> Path:
+def fabricate(proc: Path, res: int | None = None, frames: int | None = None,
+              n_gaussians: int = 400, shake_amp: float = 0.16,
+              n_seed_points: int = 128) -> Path:
     import numpy as np
 
     import combine as combine_cli
     import train_eval_split_by_blur_score as split_cli
     from splat_tpu.data import synthetic
 
+    res = RES if res is None else res
+    frames = FRAMES if frames is None else frames
     rec = proc / "raw" / "rec0"
     if not (rec / "transforms.json").exists():
         # INTERMITTENT shake (round-5 protocol fix): the raised-cosine
@@ -73,10 +77,10 @@ def fabricate(proc: Path) -> Path:
         # puts peak train-frame blur at ~3 px (48px res) while eval frames
         # measure ~0.2 px — strong score discrimination per window.
         synthetic.generate_scene(
-            rec, n_gaussians=400, n_frames=FRAMES, img_size=RES,
+            rec, n_gaussians=n_gaussians, n_frames=frames, img_size=res,
             exposure=0.06, rolling_shutter=0.01, n_blur_samples=9, seed=9,
-            trajectory="shake", shake_amp=0.16, shake_envelope_period=2.8,
-            eval_interval=10**6,
+            trajectory="shake", shake_amp=shake_amp, shake_envelope_period=2.8,
+            eval_interval=10**6, n_seed_points=n_seed_points,
         )
     meta = json.loads((rec / "transforms.json").read_text())
 
