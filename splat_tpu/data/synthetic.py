@@ -86,7 +86,8 @@ def _rotvec_to_matrix(phi: np.ndarray) -> np.ndarray:
 
 
 def shake_pose_gl(t: float, amp: float = 0.06, period: float = 1.3,
-                  phases=(0.0, 1.7, 3.1), envelope_period: float = 0.0) -> np.ndarray:
+                  phases=(0.0, 1.7, 3.1), envelope_period: float = 0.0,
+                  envelope_shape: str = "raised_cosine") -> np.ndarray:
     """Handheld-style trajectory: the look-at orbit composed with a smooth
     camera-frame rotational shake exp([theta(t)]x).
 
@@ -97,15 +98,27 @@ def shake_pose_gl(t: float, amp: float = 0.06, period: float = 1.3,
     period >> exposure keeps the constant-velocity model (SURVEY.md Appendix
     B.2) a fair approximation of the true integrated motion.
 
-    envelope_period > 0 multiplies theta by the raised cosine
-    0.5*(1-cos(2*pi*t/T)): INTERMITTENT shake, dipping to zero amplitude
-    AND zero slope at t = k*T. Real handheld blur is intermittent — the
-    reference's blur-score eval protocol assumes each window of frames
-    contains a genuinely sharp frame
+    envelope_period > 0 modulates theta by an envelope that dips to zero
+    amplitude AND zero slope at t = k*T: INTERMITTENT shake. Real handheld
+    blur is intermittent — the reference's blur-score eval protocol assumes
+    each window of frames contains a genuinely sharp frame
     (/root/reference/train_eval_split_by_blur_score.py:27-47); a stand-in
     recording with continuous shake violates that assumption and makes
     fitting the blur beat compensating it (round-4 protocol finding,
-    benchmarks/README.md)."""
+    benchmarks/README.md).
+
+    envelope_shape:
+      'raised_cosine' — 0.5*(1-cos(2*pi*t/T)): smooth dips, but frames
+        ADJACENT to the minimum are also near-sharp (env(0.35 s into a
+        2.8 s period) = 0.15), which hands the uncompensated baseline sharp
+        training signal at every window boundary (round-5 measured finding:
+        baseline beats compensation on such recordings at stand-in scales).
+      'notch' — 1 - cos(pi*t/T)^16: amplitude ~1 everywhere except a
+        NARROW zero-slope dip at t = k*T (env(0.35 s) = 0.72, frames +-2
+        at ~0.97), i.e. every train frame is genuinely blurred while one
+        frame per window is sharp — the regime the 512px synthetic matrix
+        shows compensation winning, expressed as a handheld recording with
+        momentary stillness."""
     base = orbit_pose_gl(t)
     w = 2 * np.pi / period
     theta = amp * np.array(
@@ -113,7 +126,11 @@ def shake_pose_gl(t: float, amp: float = 0.06, period: float = 1.3,
          0.35 * np.sin(1.21 * w * t + phases[2])]
     )
     if envelope_period > 0.0:
-        theta = theta * (0.5 * (1.0 - np.cos(2 * np.pi * t / envelope_period)))
+        if envelope_shape == "notch":
+            env = 1.0 - np.cos(np.pi * t / envelope_period) ** 16
+        else:
+            env = 0.5 * (1.0 - np.cos(2 * np.pi * t / envelope_period))
+        theta = theta * env
     m = base.copy()
     m[:3, :3] = base[:3, :3] @ _rotvec_to_matrix(theta)
     return m
@@ -144,7 +161,8 @@ def jerk_pose_gl(t: float, amp: float = 0.06, period: float = 0.22,
 
 def make_trajectory(name: str = "orbit", shake_amp: float = 0.06,
                     shake_period: float | None = None,
-                    envelope_period: float = 0.0):
+                    envelope_period: float = 0.0,
+                    envelope_shape: str = "raised_cosine"):
     """Named trajectory -> pose_fn(t)->4x4 GL c2w. 'orbit' is the round-2
     look-at orbit; 'shake' adds camera-frame rotational shake on top; 'jerk'
     is shake with intra-exposure velocity reversal (short period).
@@ -159,7 +177,8 @@ def make_trajectory(name: str = "orbit", shake_amp: float = 0.06,
     if name == "shake":
         period = 1.3 if shake_period is None else shake_period
         return lambda t: shake_pose_gl(t, amp=shake_amp, period=period,
-                                       envelope_period=envelope_period)
+                                       envelope_period=envelope_period,
+                                       envelope_shape=envelope_shape)
     if name == "jerk":
         period = 0.22 if shake_period is None else shake_period
         return lambda t: jerk_pose_gl(t, amp=shake_amp, period=period)
@@ -273,6 +292,7 @@ def generate_scene(
     shake_amp: float = 0.06,
     shake_period: float | None = None,
     shake_envelope_period: float = 0.0,
+    shake_envelope_shape: str = "raised_cosine",
     scale_mul: float = 1.0,
 ) -> dict:
     """Write a full reference-contract dataset; returns the scene dict."""
@@ -283,7 +303,8 @@ def generate_scene(
     rng = np.random.default_rng(seed)
     gauss = make_random_gaussians(rng, n_gaussians, scale_mul=scale_mul)
     pose_fn = make_trajectory(trajectory, shake_amp, shake_period,
-                              envelope_period=shake_envelope_period)
+                              envelope_period=shake_envelope_period,
+                              envelope_shape=shake_envelope_shape)
 
     fx = fy = img_size * 1.1
     cx = cy = img_size / 2.0
