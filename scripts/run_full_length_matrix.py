@@ -146,18 +146,12 @@ def run_one(dataset: str, variant: str, scene: str) -> str:
     return f"{status} ({time.time() - t0:.0f}s)"
 
 
-def main():
-    ensure_suite()
-    results = {}
-    for dataset, variant, scene in RUNS:
-        key = f"{dataset}/{variant}/{scene}"
-        print(f"=== {key}", flush=True)
-        results[key] = run_one(dataset, variant, scene)
-        print(f"=== {key}: {results[key]}", flush=True)
-        Path("benchmarks").mkdir(exist_ok=True)
-        Path("benchmarks/full_length_matrix_progress.json").write_text(
-            json.dumps(results, indent=2)
-        )
+def regen_artifacts() -> int:
+    """Regenerate the committed artifacts (CSV, per-variant table, ordering
+    gate) from whatever is in OUT right now. Called after EVERY run — the
+    round-5 session that recalibrated scene0 lost all of its results because
+    regeneration only happened after the full RUNS list and the session was
+    truncated mid-tier; artifacts must always reflect completed work."""
     subprocess.call([
         sys.executable, "cli/parse_outputs.py", "--input-dir", OUT,
         "--csv", "benchmarks/full_length_matrix.csv",
@@ -167,11 +161,31 @@ def main():
             [sys.executable, "cli/parse_outputs.py", "--input-dir", OUT,
              "--by-variant"], stdout=f,
         )
-    rc = subprocess.call([
-        sys.executable, "cli/check_benchmark_ordering.py",
-        "--input-dir", OUT, "--margin", "1.0",
-    ])
-    print(f"ordering gate rc={rc}", flush=True)
+    with open("benchmarks/full_length_gate.txt", "w") as f:
+        rc = subprocess.call(
+            [sys.executable, "cli/check_benchmark_ordering.py",
+             "--input-dir", OUT, "--margin", "1.0"], stdout=f,
+        )
+        f.write(f"rc={rc}\n")
+    return rc
+
+
+def main():
+    ensure_suite()
+    results = {}
+    rc = 1
+    for dataset, variant, scene in RUNS:
+        key = f"{dataset}/{variant}/{scene}"
+        print(f"=== {key}", flush=True)
+        results[key] = run_one(dataset, variant, scene)
+        print(f"=== {key}: {results[key]}", flush=True)
+        Path("benchmarks").mkdir(exist_ok=True)
+        Path("benchmarks/full_length_matrix_progress.json").write_text(
+            json.dumps(results, indent=2)
+        )
+        if not results[key].startswith("skipped"):
+            rc = regen_artifacts()
+            print(f"ordering gate rc={rc}", flush=True)
     sys.exit(0 if rc == 0 else 2)
 
 

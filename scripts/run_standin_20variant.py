@@ -186,15 +186,18 @@ def main():
         Path("benchmarks").mkdir(exist_ok=True)
         Path("benchmarks/standin_20variant_progress.json").write_text(
             json.dumps(results, indent=2))
-
-    subprocess.call([
-        sys.executable, "cli/parse_outputs.py", "--input-dir", str(out_dir),
-        "--csv", "benchmarks/standin_20variant_matrix.csv",
-    ])
-    with open("benchmarks/standin_20variant_matrix.txt", "w") as f:
-        subprocess.call(
-            [sys.executable, "cli/parse_outputs.py", "--input-dir",
-             str(out_dir), "--by-variant"], stdout=f)
+        # regenerate the table after EVERY run: a truncated session must
+        # still commit the rows it completed (the round-5 regeneration lost
+        # 10 finished runs to exactly this — results existed only in the
+        # wiped data/ tree because the CSV was written after the full loop)
+        subprocess.call([
+            sys.executable, "cli/parse_outputs.py", "--input-dir",
+            str(out_dir), "--csv", "benchmarks/standin_20variant_matrix.csv",
+        ])
+        with open("benchmarks/standin_20variant_matrix.txt", "w") as f:
+            subprocess.call(
+                [sys.executable, "cli/parse_outputs.py", "--input-dir",
+                 str(out_dir), "--by-variant"], stdout=f)
     # Ordering gate. With the round-5 intermittent-shake protocol fix the
     # eval frames are genuinely near-sharp, so compensation must WIN, not
     # merely not-hurt: the default margin is positive. (The round-4
