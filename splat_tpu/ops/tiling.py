@@ -35,8 +35,13 @@ TILE_SENTINEL = jnp.int32(2**30)
 
 # Round-5 lever (b) A/B knob: invert the binning permutation with a
 # unique-indices scatter over the capped stream instead of a second
-# full-stream lexicographic sort. Default ON (measured faster on v5e;
-# bit-identical output — see test_tiling_inverse_paths_agree).
+# full-stream lexicographic sort. Bit-identical output (see
+# test_tiling_inverse_paths_agree). Measured A/B on v5e (bench.py, round 5):
+# scatter 72.1 ms step vs sort 70.6 — parity within the ~5% tunnel variance;
+# the projected 2-3 ms sort-shrink win did NOT materialize (XLA's 1M-row
+# scatter costs about what the capped-stream sort pair did). Default stays
+# ON for the bounded memory shape (the scatter runs over l_cap rows, not
+# the full N*MTG stream), not for speed.
 _INV_SCATTER = _os.environ.get("SPLAT_TPU_INV_SCATTER", "1") != "0"
 
 
