@@ -41,17 +41,29 @@ for scene in ("scene1", "scene2"):
         KEEP.add(("synthetic-rs", variant, scene))
 
 
-def main(out_root: str = "data/bench/outputs_full20k") -> int:
-    blob = subprocess.check_output(
-        ["git", "-C", str(ROOT), "show", f"{R4_COMMIT}:{R4_CSV}"], text=True
-    )
+# Round-5 fresh rows (measured at the CURRENT recalibrated suite, committed
+# at HEAD) — restored from HEAD's CSV with the same legitimacy argument: the
+# suite generator now produces the recalibrated scene0 by default, and
+# training is deterministic, so re-running would reproduce these at ~90 min
+# of TPU.
+KEEP_R5 = {
+    ("synthetic-mb", "baseline", "scene0"),
+    ("synthetic-mb", "motion_blur", "scene0"),
+    ("synthetic-mb", "motion_blur-pose_opt-velocity_opt", "scene0"),
+    ("synthetic-mb-velnoise", "motion_blur", "scene0"),
+    ("synthetic-mb-velnoise", "motion_blur-velocity_opt", "scene0"),
+}
+
+
+def _restore(blob: str, keep: set, tag: str, provenance: str,
+             out_root: str) -> int:
     restored = 0
     for row in csv.DictReader(io.StringIO(blob)):
         key = (row["dataset"], row["variant"], row["session"])
-        if key not in KEEP:
+        if key not in keep:
             continue
         run_dir = (ROOT / out_root / row["dataset"] / row["variant"] /
-                   row["session"] / "splatfacto" / "round4-restored")
+                   row["session"] / "splatfacto" / tag)
         if (run_dir / "metrics.json").exists():
             continue
         run_dir.mkdir(parents=True, exist_ok=True)
@@ -66,16 +78,36 @@ def main(out_root: str = "data/bench/outputs_full20k") -> int:
             "wall_clock_time_seconds": float(row["wall_time"]),
             "compile_time_seconds": float(row["compile_time"]),
             "train_time_seconds": float(row["time"]),
-            "restored_from": (
-                f"benchmarks/full_length_matrix.csv @ {R4_COMMIT} (round-4 "
-                "measured 20k run; inputs bit-identical after the round-5 "
-                "scene0/scene_tex recalibration — see scripts/"
-                "restore_round4_rows.py docstring)"
-            ),
+            "restored_from": provenance,
         }
         (run_dir / "metrics.json").write_text(json.dumps(metrics, indent=2))
         restored += 1
-    print(f"restored {restored} round-4 rows into {out_root}")
+    return restored
+
+
+def main(out_root: str = "data/bench/outputs_full20k") -> int:
+    blob4 = subprocess.check_output(
+        ["git", "-C", str(ROOT), "show", f"{R4_COMMIT}:{R4_CSV}"], text=True
+    )
+    n4 = _restore(
+        blob4, KEEP, "round4-restored",
+        f"benchmarks/full_length_matrix.csv @ {R4_COMMIT} (round-4 "
+        "measured 20k run; inputs bit-identical after the round-5 "
+        "scene0/scene_tex recalibration — see scripts/"
+        "restore_round4_rows.py docstring)",
+        out_root,
+    )
+    blob5 = subprocess.check_output(
+        ["git", "-C", str(ROOT), "show", f"HEAD:{R4_CSV}"], text=True
+    )
+    n5 = _restore(
+        blob5, KEEP_R5, "round5-restored",
+        "benchmarks/full_length_matrix.csv @ HEAD (round-5 measured 20k run "
+        "at the recalibrated suite; the generator produces these inputs "
+        "bit-identically — see scripts/restore_round4_rows.py docstring)",
+        out_root,
+    )
+    print(f"restored {n4} round-4 + {n5} round-5 rows into {out_root}")
     return 0
 
 
